@@ -1,0 +1,251 @@
+"""SAST block: scene-adaptive sparse transformer layers (TPU-native).
+
+Reimplements the core algorithm of the reference
+(/root/reference/models/layers/SAST/SAST.py) with a static-shape masked
+formulation instead of dynamic gather/scatter:
+
+Reference semantics (verified against SAST.py:98-255), per token position p:
+  * the whole tensor is layer-normed (norm1) unconditionally;
+  * if p lies in a *kept window* and is itself a *selected token*, it receives
+    norm2 + attention (keys = the other selected tokens of its window; padded
+    slots are column-masked with -1e4) + LayerScale residual + gated MLP
+    (+ optional Context Broadcasting) + LayerScale residual;
+  * every other position passes through as norm1(x).
+
+The reference's per-window top-K gather/pad (SAST.py:270-281) is purely a
+batching mechanism for CUDA; masked attention over the full static window set
+is mathematically identical and is what XLA:TPU wants (fixed shapes, MXU-sized
+batched matmuls). A Pallas kernel that additionally *skips* masked windows is
+layered on top in ops/pallas (used when profitable).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sast_tpu.config import AttentionConfig
+from sast_tpu.models.layers import GatedMLP, LayerScale
+from sast_tpu.ops.partition import (
+    grid_partition,
+    grid_reverse,
+    window_partition,
+    window_reverse,
+)
+from sast_tpu.ops.sparse import select_windows_and_tokens
+
+Dtype = Any
+
+MASK_VALUE = -1e4  # matches the reference column-mask constant (SAST.py:225)
+
+
+class PositiveDense(nn.Module):
+    """Linear layer with positive weights via exp (reference PositiveLinear,
+    SAST.py:305-328). The raw weight is initialized to 1 (SAST.py:76), so the
+    effective weight starts at e."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1], self.features))
+        w = jnp.exp(w)
+        if self.dtype is not None:
+            x, w = x.astype(self.dtype), w.astype(self.dtype)
+        return x @ w
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (leading axis = batch)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class MaskedSparseAttention(nn.Module):
+    """MS-WSA: masked sparse window self-attention + gated MLP.
+
+    Operates on (B, N, hw, C) window-partitioned tokens with a boolean
+    ``token_keep`` (B, N, hw). Equivalent to reference MS_WSA
+    (SAST.py:167-255) — see module docstring for the proof sketch.
+    """
+
+    dim: int
+    dim_head: int = 32
+    use_bias: bool = True
+    ls_init_value: float = 1e-5
+    drop_path: float = 0.0
+    mlp_ratio: int = 4
+    mlp_act: str = "gelu"
+    mlp_bias: bool = True
+    norm_eps: float = 1e-5
+    enable_cb: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        token_keep: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, N, hw, C = x.shape
+        num_heads = self.dim // self.dim_head
+
+        norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")
+
+        y = norm1(x)
+        keep = token_keep[..., None]  # (B, N, hw, 1)
+        # Selected tokens receive norm2 before attention (SAST.py:214); they
+        # are also the attention shortcut. Unselected positions stay at y.
+        z = jnp.where(keep, norm2(y), y)
+
+        qkv = nn.Dense(3 * C, use_bias=self.use_bias, dtype=self.dtype, name="qkv")(z)
+        qkv = qkv.reshape(B, N, hw, 3, num_heads, self.dim_head)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+        scale = self.dim_head ** -0.5
+        # (B, N, heads, hw_q, hw_k)
+        logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q, k) * scale
+        key_mask = token_keep[:, :, None, None, :]  # mask keys (column mask)
+        logits = jnp.where(key_mask, logits, jnp.asarray(MASK_VALUE, logits.dtype))
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(B, N, hw, C)
+        out = nn.Dense(C, use_bias=self.use_bias, dtype=self.dtype, name="proj")(out)
+
+        ls1 = LayerScale(self.dim, self.ls_init_value, name="ls1")
+        ls2 = LayerScale(self.dim, self.ls_init_value, name="ls2")
+        dp1 = DropPath(self.drop_path, name="drop_path1")
+        dp2 = DropPath(self.drop_path, name="drop_path2")
+
+        h = z + dp1(ls1(out), deterministic=deterministic)  # shortcut = norm2(y) at kept
+        mlp_out = GatedMLP(
+            dim=C,
+            expansion_ratio=self.mlp_ratio,
+            act=self.mlp_act,
+            use_bias=self.mlp_bias,
+            dtype=self.dtype,
+            name="mlp",
+        )(h)
+
+        if self.enable_cb:
+            # Context Broadcasting (SAST.py:239-246): mix each selected token's
+            # MLP output with the mean over *all* token slots (unselected
+            # contribute zero), i.e. mean = sum(selected) / (N * hw).
+            masked = jnp.where(keep, mlp_out, 0.0)
+            mean = jnp.mean(masked, axis=(1, 2), keepdims=True)
+            mlp_out = 0.5 * masked + 0.5 * mean
+
+        h2 = h + dp2(ls2(mlp_out), deterministic=deterministic)
+        return jnp.where(keep, h2, y)
+
+
+class SASTBlock(nn.Module):
+    """One SAST block = window-attention layer + grid-attention layer.
+
+    The first block of a stage runs the scoring module (STP weighting) and the
+    window/token selection; subsequent blocks reuse the masks (SAST.py:124-128).
+
+    Returns (x, p_count, masks) where p_count is the mean number of selected
+    tokens per batch element over both layers (the reference's ``index_count``,
+    SAST.py:136,159 — surfaced as sparsity telemetry).
+    """
+
+    dim: int
+    attention: AttentionConfig
+    first_block: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos_emb: jnp.ndarray,
+        r: jnp.ndarray,
+        masks: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        cfg = self.attention
+        B, H, W, C = x.shape
+        p = tuple(cfg.partition_size)
+
+        attn_kwargs = dict(
+            dim=self.dim,
+            dim_head=cfg.dim_head,
+            use_bias=cfg.attention_bias,
+            ls_init_value=cfg.ls_init_value,
+            drop_path=cfg.drop_path,
+            mlp_ratio=cfg.mlp_ratio,
+            mlp_act=cfg.mlp_activation,
+            mlp_bias=cfg.mlp_bias,
+            norm_eps=cfg.norm_eps,
+            enable_cb=cfg.enable_cb,
+            dtype=self.dtype,
+        )
+
+        x = x + pos_emb.astype(x.dtype)
+        xw = window_partition(x, p)  # (B, N, hw, C)
+
+        if self.first_block:
+            # Scoring module (SAST.py:107-121).
+            scale = PositiveDense(self.dim, dtype=self.dtype, name="to_controls")(
+                r + 1e-6
+            )  # (B, C), strictly positive
+            scores = jax.nn.relu(
+                nn.Dense(self.dim, dtype=self.dtype, name="to_scores")(xw)
+            )  # (B, N, hw, C)
+
+            # STP weighting.
+            weight = jax.nn.sigmoid(scale)[:, None, None, :] * jax.nn.sigmoid(scores)
+            xw = weight * xw
+
+            # Selection amplification: scores *= AMP / scale  (guard inf -> 0).
+            # fp32: the amplified scores feed threshold comparisons.
+            inv_scale = cfg.amp / scale.astype(jnp.float32)
+            inv_scale = jnp.where(jnp.isinf(inv_scale), 0.0, inv_scale)
+            scores_amp = inv_scale[:, None, None, :] * scores.astype(jnp.float32)
+
+            _, tok_keep_w = select_windows_and_tokens(scores_amp, cfg.bounce)
+            scores_spatial = window_reverse(scores_amp, p, (H, W))
+            scores_g = grid_partition(scores_spatial, p)
+            _, tok_keep_g = select_windows_and_tokens(scores_g, cfg.bounce)
+            masks = (tok_keep_w, tok_keep_g)
+        else:
+            assert masks is not None, "non-first blocks must reuse selection masks"
+            tok_keep_w, tok_keep_g = masks
+
+        # First SAST layer: local window attention.
+        xw = MaskedSparseAttention(**attn_kwargs, name="win_attn")(
+            xw, tok_keep_w, deterministic=deterministic
+        )
+        x = window_reverse(xw, p, (H, W))
+
+        # Second SAST layer: dilated grid attention.
+        xg = grid_partition(x, p)
+        xg = MaskedSparseAttention(**attn_kwargs, name="grid_attn")(
+            xg, tok_keep_g, deterministic=deterministic
+        )
+        x = grid_reverse(xg, p, (H, W))
+
+        p_count = (
+            jnp.sum(tok_keep_w.astype(jnp.float32))
+            + jnp.sum(tok_keep_g.astype(jnp.float32))
+        ) / B
+        return x, p_count, masks

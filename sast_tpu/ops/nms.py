@@ -1,0 +1,145 @@
+"""On-device NMS with static output budget.
+
+TPU-native replacement for torchvision's ``batched_nms``
+(/root/reference/models/detection/yolox/utils/boxes.py:32-76). Dynamic-size
+outputs don't exist under XLA, so postprocessing returns a fixed
+``max_detections`` budget with a validity mask; streaming inference therefore
+never syncs with the host per frame.
+
+Class-aware suppression uses the standard coordinate-offset trick: boxes of
+different classes are translated far apart so a single class-agnostic pass is
+exact per-class NMS.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _iou_matrix_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(K, 4) xyxy -> (K, K) pairwise IoU."""
+    tl = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    br = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.clip(br - tl, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.clip(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    return inter / (area[:, None] + area[None, :] - inter + 1e-12)
+
+
+def nms_fixed(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a static candidate set.
+
+    Args:
+      boxes: (K, 4) xyxy (already class-offset if class-aware).
+      scores: (K,) — invalid candidates must carry score <= 0.
+      iou_threshold: suppression threshold.
+      max_out: static output budget.
+
+    Returns:
+      keep_idx: (max_out,) indices into the candidate set.
+      keep_valid: (max_out,) bool.
+    """
+    K = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+
+    iou = _iou_matrix_xyxy(boxes_s)
+    # suppressed[i] via sequential scan in score order: box i survives iff no
+    # surviving higher-scored box overlaps it above the threshold.
+    overlap = (iou > iou_threshold) & (
+        jnp.arange(K)[:, None] < jnp.arange(K)[None, :]
+    )  # overlap[i, j]: i earlier than j and IoU > thr
+
+    def body(keep_mask, i):
+        # keep i iff no kept earlier box suppresses it
+        suppressed = jnp.any(keep_mask & overlap[:, i])
+        keep_i = (~suppressed) & (scores_s[i] > 0)
+        keep_mask = keep_mask.at[i].set(keep_i)
+        return keep_mask, keep_i
+
+    keep_mask, _ = jax.lax.scan(body, jnp.zeros((K,), bool), jnp.arange(K))
+
+    # Select the first max_out kept boxes (in score order).
+    kept_rank = jnp.cumsum(keep_mask.astype(jnp.int32)) - 1
+    slot = jnp.where(keep_mask, kept_rank, K)
+    out_idx = jnp.full((max_out,), K, jnp.int32)
+    out_idx = out_idx.at[jnp.clip(slot, 0, max_out - 1)].set(
+        jnp.arange(K, dtype=jnp.int32), mode="drop"
+    )
+    # out_idx entries that stayed K are empty slots.
+    valid = out_idx < K
+    safe = jnp.where(valid, out_idx, 0)
+    keep_idx = order[safe]
+    return keep_idx, valid
+
+
+def postprocess(
+    preds: jnp.ndarray,
+    num_classes: int,
+    conf_threshold: float,
+    nms_threshold: float,
+    pre_nms_topk: int = 1000,
+    max_detections: int = 300,
+    class_agnostic: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Batched detection postprocessing (cxcywh preds -> final boxes).
+
+    Equivalent of the reference ``postprocess`` (boxes.py:32-76): highest-score
+    class per anchor, confidence threshold obj*cls, per-class NMS.
+
+    Args:
+      preds: (B, A, 5 + n_cls) with sigmoid-activated obj/cls
+        (see models.head.inference_outputs).
+
+    Returns dict of (B, max_detections, ...) arrays:
+      boxes (xyxy), scores (obj*cls), obj_conf, cls_conf, classes, valid.
+    """
+
+    def single(pred: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        xy = pred[:, :2]
+        wh = pred[:, 2:4]
+        boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)  # xyxy
+        obj = pred[:, 4]
+        cls_conf = jnp.max(pred[:, 5 : 5 + num_classes], axis=-1)
+        cls_id = jnp.argmax(pred[:, 5 : 5 + num_classes], axis=-1)
+        score = obj * cls_conf
+        keep = score >= conf_threshold
+        score = jnp.where(keep, score, 0.0)
+
+        k = min(pre_nms_topk, score.shape[0])
+        top_scores, top_idx = jax.lax.top_k(score, k)
+        top_boxes = boxes[top_idx]
+        top_cls = cls_id[top_idx]
+        top_obj = obj[top_idx]
+        top_cc = cls_conf[top_idx]
+
+        if class_agnostic:
+            nms_boxes = top_boxes
+        else:
+            # Per-class NMS via coordinate offsets.
+            span = jnp.max(top_boxes) + 1.0
+            offset = top_cls.astype(top_boxes.dtype) * span
+            nms_boxes = top_boxes + offset[:, None]
+
+        keep_idx, valid = nms_fixed(nms_boxes, top_scores, nms_threshold, max_detections)
+        return {
+            "boxes": top_boxes[keep_idx] * valid[:, None],
+            "scores": top_scores[keep_idx] * valid,
+            "obj_conf": top_obj[keep_idx] * valid,
+            "cls_conf": top_cc[keep_idx] * valid,
+            "classes": jnp.where(valid, top_cls[keep_idx], -1),
+            "valid": valid,
+        }
+
+    return jax.vmap(single)(preds)

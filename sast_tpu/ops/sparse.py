@@ -1,0 +1,95 @@
+"""Scene-adaptive scoring & selection — static-shape TPU formulation.
+
+The reference selection (/root/reference/models/layers/SAST/SAST.py:84-96,
+258-281) produces *dynamic-length* index lists via ``nonzero``/``topk`` and
+physically gathers the selected windows/tokens. Under XLA that would force a
+recompile per sparsity pattern, so we reformulate selection as **boolean
+masks** over a static layout:
+
+- ``window_keep (B, N)``  — windows whose softmax-normalized L1 score is
+  >= (1/N) / (1 + bounce)
+- ``token_keep  (B, N, hw)`` — tokens (within kept windows) whose softmax
+  score is >= (1/hw) / (1 + bounce)
+
+The masked attention consuming these masks (models/sast.py) is mathematically
+identical to the reference's gather/pad/scatter pipeline: per kept window,
+attention runs among its selected tokens only (the reference's per-window
+top-K padding is purely a batching device — padded slots are key-masked with
+-1e4 and their outputs discarded, SAST.py:222-226, 250-254).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def non_zero_ratio(x: jnp.ndarray, num_stages: int = 4) -> jnp.ndarray:
+    """Per-stage channel-wise event-density ratio.
+
+    Equivalent of the reference ``non_zero_ratio``
+    (/root/reference/models/detection/recurrent_backbone/sast_rnn.py:45-60):
+    max-pool the input by 4, then by 2 per subsequent stage, and report the
+    fraction of non-zero cells per channel at each scale.
+
+    Args:
+      x: (B, H, W, C) event representation (NHWC; any numeric dtype).
+
+    Returns:
+      (B, num_stages, C) float32 ratios in [0, 1]; no gradient flows.
+    """
+    x = jax.lax.stop_gradient(x).astype(jnp.float32)
+    ratios = []
+    pooled = x
+    for stage in range(num_stages):
+        k = 4 if stage == 0 else 2
+        pooled = jax.lax.reduce_window(
+            pooled,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1, k, k, 1),
+            window_strides=(1, k, k, 1),
+            padding="VALID",
+        )
+        nz = jnp.sum((pooled != 0).astype(jnp.float32), axis=(1, 2))  # (B, C)
+        ratios.append(nz / (pooled.shape[1] * pooled.shape[2]))
+    return jnp.stack(ratios, axis=1)
+
+
+def select_windows_and_tokens(
+    scores: jnp.ndarray,
+    bounce: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Window + token co-selection from amplified scores.
+
+    Mirrors ``window_selection`` / ``token_selection``
+    (/root/reference/models/layers/SAST/SAST.py:84-96) as masks.
+
+    Args:
+      scores: (B, N, hw, C) non-negative amplified scores.
+      bounce: BOUNCE slack constant.
+
+    Returns:
+      window_keep: (B, N) bool.
+      token_keep:  (B, N, hw) bool — includes the window mask (a token is kept
+        only if its window is kept).
+    """
+    B, N, hw, C = scores.shape
+    # Selection always runs in fp32: with near-uniform scores the softmax sits
+    # *exactly* at the 1/N threshold (the dense-fallback regime keeps every
+    # window), and bf16 exp/reciprocal approximations can flip the comparison.
+    scores = scores.astype(jnp.float32)
+    # Window selection: L1 over (token, channel) / hw, softmax over windows.
+    win_l1 = jnp.sum(jnp.abs(scores), axis=(2, 3)) / hw  # (B, N)
+    win_soft = jax.nn.softmax(win_l1, axis=-1)
+    window_keep = win_soft >= (1.0 / N) / (1.0 + bounce)
+
+    # Token selection: L1 over channel, softmax over tokens within the window.
+    # The reference computes softmax only over kept windows, but softmax is
+    # per-window (axis=-1 over hw), so computing it everywhere is identical.
+    tok_l1 = jnp.sum(jnp.abs(scores), axis=3)  # (B, N, hw)
+    tok_soft = jax.nn.softmax(tok_l1, axis=-1)
+    token_keep = (tok_soft >= (1.0 / hw) / (1.0 + bounce)) & window_keep[..., None]
+    return window_keep, token_keep
