@@ -77,7 +77,7 @@ class GatedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        inner_dim = math.floor(self.dim * self.expansion_ratio * 2 / 3 / 32) * 32
+        inner_dim = max(32, math.floor(self.dim * self.expansion_ratio * 2 / 3 / 32) * 32)
         x = GLU(dim_out=inner_dim, act=self.act, use_bias=self.use_bias, dtype=self.dtype)(x)
         x = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype)(x)
         return x

@@ -70,13 +70,13 @@ def nms_fixed(
 
     keep_mask, _ = jax.lax.scan(body, jnp.zeros((K,), bool), jnp.arange(K))
 
-    # Select the first max_out kept boxes (in score order).
+    # Select the first max_out kept boxes (in score order). Non-kept boxes
+    # get an out-of-bounds slot so the scatter drops them.
     kept_rank = jnp.cumsum(keep_mask.astype(jnp.int32)) - 1
-    slot = jnp.where(keep_mask, kept_rank, K)
+    oob = max(K, max_out)
+    slot = jnp.where(keep_mask, kept_rank, oob)
     out_idx = jnp.full((max_out,), K, jnp.int32)
-    out_idx = out_idx.at[jnp.clip(slot, 0, max_out - 1)].set(
-        jnp.arange(K, dtype=jnp.int32), mode="drop"
-    )
+    out_idx = out_idx.at[slot].set(jnp.arange(K, dtype=jnp.int32), mode="drop")
     # out_idx entries that stayed K are empty slots.
     valid = out_idx < K
     safe = jnp.where(valid, out_idx, 0)

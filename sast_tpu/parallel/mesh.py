@@ -1,0 +1,54 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL/DDP layer
+(/root/reference/train.py:91-98, SURVEY.md section 2.12): data parallelism is
+expressed as a 1-D ``jax.sharding.Mesh`` over the ``data`` axis with
+batch-dim NamedShardings; XLA inserts the gradient/metric collectives (psum
+over ICI) during GSPMD partitioning — there are no explicit all-reduce calls
+anywhere in the framework. Cross-replica BatchNorm statistics (the
+reference's sync-BN, train.py:167) also fall out automatically: the batch
+mean/variance are global reductions over the sharded batch axis.
+
+Multi-host: ``jax.distributed.initialize()`` + ``jax.process_index()``
+replace ``dist.init_process_group`` / ``dist.get_rank`` for the streaming
+data sharder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Shard the given axis over the data mesh axis, replicate the rest."""
+    spec = [None] * (batch_axis + 1)
+    spec[batch_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_pytree(tree: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+    """Device-put every leaf with its batch axis sharded over the mesh."""
+    sh = batch_sharding(mesh, batch_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def process_shard_info() -> tuple:
+    """(rank, world_size) for host-side data sharding (multi-host)."""
+    return jax.process_index(), jax.process_count()

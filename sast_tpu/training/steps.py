@@ -1,0 +1,252 @@
+"""Jitted train / eval / streaming-inference step builders.
+
+TPU-native reformulation of the reference Lightning task module
+(/root/reference/modules/detection.py:113-295):
+
+- the per-timestep Python loop over the clip becomes ``jax.lax.scan`` with the
+  LSTM states as the carry (rematerialized per step for BPTT memory);
+- "select features at labeled timesteps then batch them"
+  (modules/utils/detection.py:24-46) becomes a static per-lane gather:
+  the host provides ``frame_tidx (B, L)`` + ``frame_valid (B, L)`` — L is a
+  fixed budget — so the gather is lane-local and DP-sharding-friendly;
+- truncated BPTT: the returned LSTM states are the scan outputs; gradients
+  stop at the step boundary exactly like the reference's
+  ``save_states_and_detach`` (modules/detection.py:170);
+- state reset per lane via the ``is_first_sample`` mask
+  (modules/utils/detection.py:115-130).
+
+Batch layout (see data/batch.py):
+  ev_repr      (T, B, H, W, C) float32
+  frame_tidx   (B, L) int32    time index of each selected labeled frame
+  frame_valid  (B, L) bool
+  gt_boxes     (B, L, G, 4) float32 cxcywh (input pixels)
+  gt_classes   (B, L, G) int32
+  gt_valid     (B, L, G) bool
+  is_first     (B,) bool
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax.training import train_state
+
+from sast_tpu.config import ExperimentConfig
+from sast_tpu.models.backbone import zero_states
+from sast_tpu.models.detector import YoloXDetector
+from sast_tpu.models.head import inference_outputs
+from sast_tpu.models.losses import yolox_loss
+from sast_tpu.ops.nms import postprocess
+from sast_tpu.training.optimizer import build_optimizer
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(
+    cfg: ExperimentConfig,
+    rng: jax.Array,
+    learning_rate: Optional[float] = None,
+) -> Tuple[TrainState, YoloXDetector]:
+    model = YoloXDetector(cfg.model)
+    bb = cfg.model.backbone
+    dummy_x = jnp.zeros((1, *bb.in_res_hw, bb.input_channels), jnp.float32)
+    dummy_states = zero_states(bb, 1)
+    variables = jax.jit(model.init)(rng, dummy_x, dummy_states)
+    tx = build_optimizer(cfg.training, learning_rate)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    return state, model
+
+
+def _reset_states(lstm_states, is_first: jnp.ndarray):
+    """Zero the state lanes flagged as sequence starts."""
+
+    def mask(s):
+        keep = (~is_first).astype(s.dtype)
+        return s * keep.reshape((-1,) + (1,) * (s.ndim - 1))
+
+    return jax.tree.map(mask, lstm_states)
+
+
+def _backbone_scan(
+    model: YoloXDetector,
+    params,
+    ev_repr: jnp.ndarray,
+    lstm_states,
+    in_stages: Tuple[int, ...],
+    deterministic: bool,
+):
+    """Scan the recurrent backbone over time; returns stacked FPN-input feats.
+
+    ev_repr: (T, B, H, W, C). Output feats: tuple of (T, B, h, w, c) for the
+    requested stages; the scan step is rematerialized (BPTT memory =
+    O(T * sum(feature sizes)), activations recomputed in the backward pass).
+    """
+
+    @jax.checkpoint
+    def step(states, x_t):
+        feats, new_states, p = model.apply(
+            {"params": params},
+            x_t,
+            states,
+            method=YoloXDetector.forward_backbone,
+            deterministic=deterministic,
+        )
+        out = tuple(feats[s] for s in in_stages)
+        return new_states, (out, p)
+
+    final_states, (feats_seq, p_seq) = jax.lax.scan(step, lstm_states, ev_repr)
+    return final_states, feats_seq, p_seq
+
+
+def make_train_step(
+    model: YoloXDetector, cfg: ExperimentConfig
+) -> Callable:
+    """Returns train_step(state, batch, lstm_states) -> (state, lstm_states, metrics)."""
+    in_stages = tuple(cfg.model.fpn.in_stages)
+    num_classes = cfg.model.head.num_classes
+    topk = cfg.model.head.simota_topk
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], lstm_states):
+        lstm_states = _reset_states(lstm_states, batch["is_first"])
+        T, B = batch["ev_repr"].shape[:2]
+        L = batch["frame_tidx"].shape[1]
+
+        def loss_fn(params):
+            final_states, feats_seq, p_seq = _backbone_scan(
+                model, params, batch["ev_repr"], lstm_states, in_stages,
+                deterministic=True,
+            )
+            # Lane-local gather of labeled frames: (T, B, ...) -> (B, L, ...).
+            lane = jnp.arange(B)[:, None]
+            sel = {
+                s: f[batch["frame_tidx"], lane].reshape(B * L, *f.shape[2:])
+                for s, f in zip(in_stages, feats_seq)
+            }
+            outputs, new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                sel,
+                train=True,
+                method=YoloXDetector.forward_detect,
+                mutable=["batch_stats"],
+            )
+            losses = yolox_loss(
+                preds=outputs["preds"],
+                grids=outputs["grids"],
+                strides=outputs["strides"],
+                gt_boxes=batch["gt_boxes"].reshape(B * L, -1, 4),
+                gt_classes=batch["gt_classes"].reshape(B * L, -1),
+                gt_valid=batch["gt_valid"].reshape(B * L, -1),
+                frame_valid=batch["frame_valid"].reshape(B * L),
+                num_classes=num_classes,
+                topk=topk,
+            )
+            aux = {
+                "losses": losses,
+                "new_states": final_states,
+                "batch_stats": new_model_state["batch_stats"],
+                # Mean selected tokens per step (reference progress-bar 'N',
+                # modules/detection.py:196-200).
+                "P": jnp.sum(p_seq) / T,
+            }
+            return losses["loss"], aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, batch_stats=aux["batch_stats"]
+        )
+        new_lstm_states = jax.lax.stop_gradient(aux["new_states"])
+        metrics = dict(aux["losses"])
+        metrics["P"] = aux["P"]
+        return new_state, new_lstm_states, metrics
+
+    return train_step
+
+
+def make_eval_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
+    """Returns eval_step(variables, batch, lstm_states) ->
+    (lstm_states, detections, preds)
+
+    Runs the backbone over the clip, detects at the labeled frames, applies
+    on-device NMS. Detections come back with static budgets + validity masks;
+    the host converts them to Prophesee format (eval/prophesee.py).
+    """
+    in_stages = tuple(cfg.model.fpn.in_stages)
+    pp = cfg.model.postprocess
+    num_classes = cfg.model.head.num_classes
+
+    def eval_step(variables, batch: Dict[str, jnp.ndarray], lstm_states):
+        lstm_states = _reset_states(lstm_states, batch["is_first"])
+        T, B = batch["ev_repr"].shape[:2]
+        L = batch["frame_tidx"].shape[1]
+        params = variables["params"]
+
+        final_states, feats_seq, _ = _backbone_scan(
+            model, params, batch["ev_repr"], lstm_states, in_stages,
+            deterministic=True,
+        )
+        lane = jnp.arange(B)[:, None]
+        sel = {
+            s: f[batch["frame_tidx"], lane].reshape(B * L, *f.shape[2:])
+            for s, f in zip(in_stages, feats_seq)
+        }
+        outputs = model.apply(
+            variables, sel, train=False, method=YoloXDetector.forward_detect
+        )
+        dets = postprocess(
+            inference_outputs(outputs["preds"]),
+            num_classes=num_classes,
+            conf_threshold=pp.confidence_threshold,
+            nms_threshold=pp.nms_threshold,
+            pre_nms_topk=pp.pre_nms_topk,
+            max_detections=pp.max_detections,
+        )
+        # Invalidate padding frames on-device.
+        fv = batch["frame_valid"].reshape(B * L)
+        dets["valid"] = dets["valid"] & fv[:, None]
+        return final_states, dets
+
+    return eval_step
+
+
+def make_inference_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
+    """Single-frame streaming inference: (variables, x, states) ->
+    (detections, new_states). The deployable unit (SURVEY.md section 3.3);
+    states are donatable for zero-copy carry."""
+    pp = cfg.model.postprocess
+    num_classes = cfg.model.head.num_classes
+
+    def infer_step(variables, x: jnp.ndarray, lstm_states):
+        feats, new_states, p = model.apply(
+            {"params": variables["params"]},
+            x,
+            lstm_states,
+            method=YoloXDetector.forward_backbone,
+        )
+        outputs = model.apply(
+            variables,
+            feats,
+            train=False,
+            method=YoloXDetector.forward_detect,
+        )
+        dets = postprocess(
+            inference_outputs(outputs["preds"]),
+            num_classes=num_classes,
+            conf_threshold=pp.confidence_threshold,
+            nms_threshold=pp.nms_threshold,
+            pre_nms_topk=pp.pre_nms_topk,
+            max_detections=pp.max_detections,
+        )
+        return dets, new_states, p
+
+    return infer_step

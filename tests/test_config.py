@@ -1,0 +1,41 @@
+"""Config derivation semantics (reference: config/modifier.py:10-48)."""
+
+from sast_tpu.config import get_config, get_test_config
+
+
+def test_gen1_resolution_and_partition():
+    cfg = get_config("gen1", "base")
+    # gen1 native 240x304 -> rounded to multiple of 32 (split 1) -> 256x320.
+    assert cfg.model.backbone.in_res_hw == (256, 320)
+    assert cfg.model.backbone.attention.partition_size == (8, 10)
+    assert cfg.model.head.num_classes == 2
+    assert cfg.model.backbone.stage_dims == (64, 128, 256, 512)
+    assert cfg.model.backbone.stage_strides == (4, 8, 16, 32)
+    assert cfg.dataset.sequence_length == 21
+
+
+def test_gen4_resolution_and_partition():
+    cfg = get_config("gen4", "base")
+    # gen4 720x1280 ds2 -> 360x640 -> rounded to multiple of 64 (split 2)
+    # -> 384x640; partition = hw // 64 = (6, 10).
+    assert cfg.model.backbone.in_res_hw == (384, 640)
+    assert cfg.model.backbone.attention.partition_size == (6, 10)
+    assert cfg.model.head.num_classes == 3
+    assert cfg.dataset.sequence_length == 5
+    assert cfg.training.batch_size_train == 12
+
+
+def test_size_overlays():
+    assert get_config("gen1", "tiny").model.backbone.embed_dim == 32
+    assert get_config("gen1", "small").model.backbone.embed_dim == 48
+    assert get_config("gen1", "large").model.backbone.embed_dim == 96
+    assert get_config("gen1", "tiny").model.fpn.depth == 0.33
+
+
+def test_test_config_divisibility():
+    cfg = get_test_config()
+    h, w = cfg.model.backbone.in_res_hw
+    p0, p1 = cfg.model.backbone.attention.partition_size
+    for s in cfg.model.backbone.stage_strides:
+        assert (h // s) % p0 == 0
+        assert (w // s) % p1 == 0

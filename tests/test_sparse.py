@@ -1,0 +1,77 @@
+"""Selection-mask parity against a naive numpy oracle implementing the
+reference's dynamic-index semantics (SAST.py:84-96, 258-281)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sast_tpu.ops.sparse import non_zero_ratio, select_windows_and_tokens
+
+BOUNCE = 1e-3
+
+
+def _softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _oracle_selection(scores: np.ndarray, bounce: float):
+    """Reference-style selection (nonzero/topk) expressed as dense masks."""
+    B, N, hw, C = scores.shape
+    win_l1 = np.abs(scores).sum(axis=(2, 3)) / hw
+    win_soft = _softmax(win_l1, axis=-1)
+    win_keep = win_soft >= (1.0 / N) / (1.0 + bounce)
+
+    tok_l1 = np.abs(scores).sum(axis=3)  # (B, N, hw)
+    tok_keep = np.zeros((B, N, hw), bool)
+    for b in range(B):
+        for n in range(N):
+            if not win_keep[b, n]:
+                continue
+            soft = _softmax(tok_l1[b, n], axis=-1)
+            tok_keep[b, n] = soft >= (1.0 / hw) / (1.0 + bounce)
+    return win_keep, tok_keep
+
+
+@jax.jit
+def _select(scores):
+    return select_windows_and_tokens(scores, BOUNCE)
+
+
+def test_selection_matches_oracle():
+    rng = np.random.RandomState(42)
+    # Mix of spiky and flat windows, plus a fully-zero batch element.
+    scores = np.abs(rng.randn(3, 8, 10, 4)).astype(np.float32)
+    scores[0, :4] *= 20.0  # spiky windows dominate the softmax
+    scores[2] = 0.0  # dense-fallback regime: uniform -> keep everything
+
+    wk, tk = _select(jnp.asarray(scores))
+    wk_ref, tk_ref = _oracle_selection(scores, BOUNCE)
+    np.testing.assert_array_equal(np.asarray(wk), wk_ref)
+    np.testing.assert_array_equal(np.asarray(tk), tk_ref)
+    # Zero scores keep everything (uniform softmax == threshold * (1+bounce)).
+    assert np.asarray(wk)[2].all()
+    assert np.asarray(tk)[2].all()
+
+
+@jax.jit
+def _ratio(x):
+    return non_zero_ratio(x)
+
+
+def test_non_zero_ratio_matches_oracle():
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 32, 64, 5
+    x = (rng.rand(B, H, W, C) > 0.85).astype(np.float32) * rng.poisson(
+        2, (B, H, W, C)
+    )
+    r = np.asarray(_ratio(jnp.asarray(x)))
+    assert r.shape == (B, 4, C)
+
+    # Oracle: max-pool pyramid + non-zero fraction per channel.
+    pooled = x
+    for s, k in enumerate([4, 2, 2, 2]):
+        Bp, Hp, Wp, Cp = pooled.shape
+        pooled = pooled.reshape(Bp, Hp // k, k, Wp // k, k, Cp).max(axis=(2, 4))
+        frac = (pooled != 0).sum(axis=(1, 2)) / (pooled.shape[1] * pooled.shape[2])
+        np.testing.assert_allclose(r[:, s], frac, rtol=1e-6)
