@@ -1,0 +1,116 @@
+"""Device-batch assembly + host->device prefetch.
+
+Converts a list of B host clips (from the streaming/random samplers) into the
+static-layout arrays consumed by training/steps.py. Events ship as uint8
+(native resolution) and are cast + padded to the model resolution on device —
+a 4x transfer saving, which matters since the TPU sits behind a network
+tunnel in this environment.
+
+The labeled-frame selection ("which timesteps carry labels") is computed here
+on the host so the device-side gather has static shape — the TPU-native
+replacement of the reference's dynamic BackboneFeatureSelector
+(/root/reference/modules/utils/detection.py:24-46).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from sast_tpu.data.labels import FrameLabels, pad_labels_yolox
+
+
+def assemble_batch(
+    clips: List[dict],
+    max_labeled_frames: int,
+    max_gt: int,
+    keep_last: bool = True,
+) -> Dict[str, np.ndarray]:
+    """B clips -> batch dict (see training/steps.py for the layout).
+
+    Every labeled timestep beyond the ``max_labeled_frames`` budget is
+    dropped from the loss (keep_last=True keeps the latest ones, matching the
+    reference's preference for evaluating late-sequence frames,
+    modules/detection.py:180-184).
+    """
+    B = len(clips)
+    T = clips[0]["ev_repr"].shape[0]
+    L = max_labeled_frames
+
+    ev = np.stack([c["ev_repr"] for c in clips], axis=1)  # (T, B, H, W, C)
+    is_first = np.array([c["is_first"] for c in clips], bool)
+
+    frame_tidx = np.zeros((B, L), np.int32)
+    frame_valid = np.zeros((B, L), bool)
+    sel_labels: List[List[Optional[FrameLabels]]] = []
+    for b, clip in enumerate(clips):
+        tidx = [
+            t
+            for t, fl in enumerate(clip["labels"])
+            if fl is not None and len(fl) > 0
+        ]
+        if keep_last:
+            tidx = tidx[-L:]
+        else:
+            tidx = tidx[:L]
+        frame_tidx[b, : len(tidx)] = tidx
+        frame_valid[b, : len(tidx)] = True
+        lane_labels: List[Optional[FrameLabels]] = [
+            clip["labels"][t] for t in tidx
+        ]
+        lane_labels += [None] * (L - len(tidx))
+        sel_labels.append(lane_labels)
+
+    flat = [fl for lane in sel_labels for fl in lane]
+    boxes, classes, valid = pad_labels_yolox(flat, max_gt)  # (B*L, G, ...)
+
+    return {
+        "ev_repr": ev,  # uint8 or float32, native resolution
+        "frame_tidx": frame_tidx,
+        "frame_valid": frame_valid,
+        "gt_boxes": boxes.reshape(B, L, max_gt, 4),
+        "gt_classes": classes.reshape(B, L, max_gt),
+        "gt_valid": valid.reshape(B, L, max_gt),
+        "is_first": is_first,
+        # Host-side references for evaluation (not shipped to device).
+        "_labels": sel_labels,
+    }
+
+
+def split_device_batch(batch: Dict[str, np.ndarray]):
+    """(device_arrays, host_extras) — strip host-only keys before transfer."""
+    device = {k: v for k, v in batch.items() if not k.startswith("_")}
+    host = {k: v for k, v in batch.items() if k.startswith("_")}
+    return device, host
+
+
+class Prefetcher:
+    """Background-thread batch producer with a bounded queue.
+
+    The single-core host overlaps h5 read + blosc decode + batch assembly
+    with device compute; queue depth 2 is enough to hide the latency.
+    """
+
+    def __init__(self, iterable: Iterable, depth: int = 2):
+        self._it = iter(iterable)
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for item in self._it:
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item

@@ -1,0 +1,211 @@
+"""Data module: builds train/eval batch iterators from the experiment config.
+
+Equivalent of the reference DataModule (/root/reference/modules/data/genx.py)
++ dataset builders (data/genx_utils/dataset_streaming.py, dataset_rnd.py):
+
+- train sampling modes 'stream' | 'random' | 'mixed' (mixed splits the batch
+  lanes between a streaming part and a random-access part, genx.py:116-139);
+- eval always streams, sharded by (jax.process_index, world) with padded fill
+  batches;
+- random-access samples draw the seq_len reprs ending at a labeled frame with
+  per-item augmentation and optional class-frequency weighted sampling
+  (dataset_rnd.py:97-149);
+- every batch is assembled host-side into the static device layout
+  (data/batch.py) and prefetched on a background thread.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from sast_tpu.config import ExperimentConfig
+from sast_tpu.data.augment import SpatialAugmentor
+from sast_tpu.data.batch import Prefetcher, assemble_batch
+from sast_tpu.data.sequence import ClipIterator, SequenceReader
+from sast_tpu.data.streaming import ConcatStreamsSampler, ShardedEvalSampler
+
+
+def discover_sequences(root: Path, split: str) -> List[Path]:
+    split_dir = Path(root) / split
+    assert split_dir.is_dir(), f"missing dataset split dir: {split_dir}"
+    return sorted(p for p in split_dir.iterdir() if p.is_dir())
+
+
+class RandomAccessSampler:
+    """Infinite batches of independent labeled-frame-anchored samples."""
+
+    def __init__(
+        self,
+        readers: List[SequenceReader],
+        seq_len: int,
+        batch_size: int,
+        augmentor: Optional[SpatialAugmentor],
+        weighted: bool,
+        num_classes: int,
+        seed: int = 0,
+    ):
+        self.readers = readers
+        self.seq_len = seq_len
+        self.batch_size = batch_size
+        self.augmentor = augmentor
+        self.rng = np.random.RandomState(seed)
+
+        # Flat index of (reader_idx, objframe_idx).
+        self.index: List = []
+        weights = []
+        class_counts = np.zeros((num_classes,), np.float64)
+        per_seq_hist = []
+        for ri, r in enumerate(readers):
+            hist = r.label_class_histogram(num_classes)
+            class_counts += hist
+            per_seq_hist.append(hist)
+            for oi in range(r.num_random_access_samples()):
+                self.index.append((ri, oi))
+        if weighted:
+            # Sample weight ~ inverse frequency of the rarest class present in
+            # the sequence (coarse, per-sequence like dataset_rnd.py:115-149).
+            inv = 1.0 / np.maximum(class_counts, 1.0)
+            for ri, oi in self.index:
+                hist = per_seq_hist[ri]
+                w = float((hist > 0) @ inv) if hist.sum() > 0 else 1e-9
+                weights.append(w)
+            w = np.asarray(weights)
+            self.probs = w / w.sum()
+        else:
+            self.probs = None
+
+    def _sample(self) -> dict:
+        k = (
+            self.rng.choice(len(self.index), p=self.probs)
+            if self.probs is not None
+            else self.rng.randint(len(self.index))
+        )
+        ri, oi = self.index[k]
+        ev, labels = self.readers[ri].random_access_sample(oi, self.seq_len)
+        n_pad = self.seq_len - ev.shape[0]
+        mask = np.ones((self.seq_len,), bool)
+        if n_pad > 0:
+            # Short head of a sequence: left-pad with zeros (state resets anyway).
+            ev = np.concatenate(
+                [np.zeros((n_pad, *ev.shape[1:]), ev.dtype), ev], axis=0
+            )
+            labels = [None] * n_pad + labels
+            mask[:n_pad] = False
+        if self.augmentor is not None:
+            ev, labels = self.augmentor(ev, labels)
+        return {
+            "ev_repr": ev,
+            "labels": labels,
+            "is_first": True,  # random-access always resets the state
+            "is_padded_mask": mask,
+        }
+
+    def __iter__(self) -> Iterator[List[dict]]:
+        while True:
+            yield [self._sample() for _ in range(self.batch_size)]
+
+
+class MixedSampler:
+    """Zips stream lanes and random lanes into one batch (genx.py:116-139)."""
+
+    def __init__(self, stream_sampler, random_sampler):
+        self.stream_sampler = stream_sampler
+        self.random_sampler = random_sampler
+
+    def __iter__(self) -> Iterator[List[dict]]:
+        s_it = iter(self.stream_sampler)
+        r_it = iter(self.random_sampler)
+        while True:
+            yield next(s_it) + next(r_it)
+
+
+class DataModule:
+    def __init__(self, cfg: ExperimentConfig, rank: int = 0, world_size: int = 1):
+        self.cfg = cfg
+        self.rank = rank
+        self.world_size = world_size
+
+    def _readers(self, split: str) -> List[SequenceReader]:
+        ds = self.cfg.dataset
+        return [
+            SequenceReader(
+                p, ds.ev_repr_name, ds.name, ds.downsample_by_factor_2
+            )
+            for p in discover_sequences(Path(ds.path), split)
+        ]
+
+    def _stream_clips(self, readers, guarantee_labels: bool) -> List[ClipIterator]:
+        seq_len = self.cfg.dataset.sequence_length
+        clips = []
+        for r in readers:
+            for ranges in r.streams(seq_len, guarantee_labels):
+                clips.append(ClipIterator(r, seq_len, ranges))
+        return clips
+
+    def _assemble(self, sampler) -> Iterator[Dict[str, np.ndarray]]:
+        tr = self.cfg.training
+        max_gt = self.cfg.model.head.max_gt
+        for clips in sampler:
+            yield assemble_batch(
+                clips, tr.max_labeled_frames_per_lane, max_gt
+            )
+
+    def train_batches(self, seed: int = 0, prefetch: bool = True):
+        ds = self.cfg.dataset
+        tr = self.cfg.training
+        B = tr.batch_size_train // self.world_size
+        assert B >= 1
+        readers = self._readers("train")
+
+        mode = ds.train_sampling
+        assert mode in ("stream", "random", "mixed"), mode
+        stream_aug = SpatialAugmentor(
+            ds.data_augmentation_stream, stream_mode=True,
+            rng=np.random.RandomState(seed + 101 + self.rank),
+        )
+        random_aug = SpatialAugmentor(
+            ds.data_augmentation_random, stream_mode=False,
+            rng=np.random.RandomState(seed + 202 + self.rank),
+        )
+
+        if mode == "stream":
+            sampler = ConcatStreamsSampler(
+                self._stream_clips(readers, True), B, stream_aug,
+                seed=seed + self.rank,
+            )
+        elif mode == "random":
+            sampler = RandomAccessSampler(
+                readers, ds.sequence_length, B, random_aug,
+                ds.weighted_sampling, ds.num_classes, seed=seed + self.rank,
+            )
+        else:  # mixed
+            total_w = ds.mixed_w_stream + ds.mixed_w_random
+            b_stream = max(1, min(B - 1, round(B * ds.mixed_w_stream / total_w)))
+            b_random = B - b_stream
+            sampler = MixedSampler(
+                ConcatStreamsSampler(
+                    self._stream_clips(readers, True), b_stream, stream_aug,
+                    seed=seed + self.rank,
+                ),
+                RandomAccessSampler(
+                    readers, ds.sequence_length, b_random, random_aug,
+                    ds.weighted_sampling, ds.num_classes, seed=seed + self.rank,
+                ),
+            )
+        it = self._assemble(sampler)
+        return Prefetcher(it) if prefetch else it
+
+    def eval_batches(self, split: str = "val", prefetch: bool = True):
+        tr = self.cfg.training
+        B = tr.batch_size_eval // self.world_size
+        assert B >= 1
+        readers = self._readers(split)
+        sampler = ShardedEvalSampler(
+            self._stream_clips(readers, False), B,
+            rank=self.rank, world_size=self.world_size,
+        )
+        it = self._assemble(sampler)
+        return Prefetcher(it) if prefetch else it

@@ -1,0 +1,205 @@
+"""On-disk sequence reading for the preprocessed GenX datasets.
+
+Reads the standard RVT/SAST preprocessed layout
+(/root/reference/data/genx_utils/sequence_base.py:27-104):
+
+    <seq>/event_representations_v2/<repr_name>/
+        event_representations[_ds2_nearest].h5   (dataset 'data', blosc chunks)
+        objframe_idx_2_repr_idx.npy
+        timestamps_us.npy
+    <seq>/labels_v2/labels.npz                   ('labels', 'objframe_idx_2_label_idx')
+
+plus the clip-splitting logic of the streaming dataset
+(sequence_for_streaming.py:21-111): length-`seq_len` windows aligned so that
+every training clip contains at least one labeled frame, zero-padding +
+padding masks for the tail, and random-access samples = the seq_len
+representations ending at a labeled frame (sequence_rnd.py:9-84).
+
+blosc-compressed HDF5 needs the hdf5plugin filter; it is imported lazily and
+optional (uncompressed h5 works without it).
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sast_tpu.data.labels import FrameLabels, LabelStore
+
+try:  # pragma: no cover - optional C plugin for blosc-compressed datasets
+    import hdf5plugin  # noqa: F401
+except ImportError:
+    hdf5plugin = None
+
+import h5py
+
+
+def _native_hw(dataset_name: str) -> Tuple[int, int]:
+    from sast_tpu.config import DATASET_RES_HW
+
+    return DATASET_RES_HW[dataset_name]
+
+
+class SequenceReader:
+    """One recorded sequence: event representations + sparse labels."""
+
+    def __init__(
+        self,
+        path: Path,
+        ev_repr_name: str,
+        dataset_name: str,
+        downsample_by_factor_2: bool = False,
+    ):
+        path = Path(path)
+        assert path.is_dir(), path
+        ev_dir = path / "event_representations_v2" / ev_repr_name
+        ds_suffix = "_ds2_nearest" if downsample_by_factor_2 else ""
+        self.ev_repr_file = ev_dir / f"event_representations{ds_suffix}.h5"
+        assert self.ev_repr_file.exists(), self.ev_repr_file
+        self.path = path
+        self.name = path.name
+
+        label_data = np.load(str(path / "labels_v2" / "labels.npz"))
+        self.labels = LabelStore(
+            labels=label_data["labels"],
+            objframe_idx_2_label_idx=label_data["objframe_idx_2_label_idx"],
+            input_size_hw=_native_hw(dataset_name),
+            downsample_factor=2 if downsample_by_factor_2 else None,
+        )
+        self.objframe_idx_2_repr_idx = np.load(
+            str(ev_dir / "objframe_idx_2_repr_idx.npy")
+        ).astype(np.int64)
+        self._repr_idx_2_objframe_idx = {
+            int(r): int(i) for i, r in enumerate(self.objframe_idx_2_repr_idx)
+        }
+        with h5py.File(str(self.ev_repr_file), "r") as f:
+            self.num_ev_repr = f["data"].shape[0]
+            self.ev_repr_shape = f["data"].shape[1:]  # (C, H, W) on disk
+        self._h5: Optional[h5py.File] = None
+
+    # -- raw access ---------------------------------------------------------
+    def _file(self) -> h5py.File:
+        if self._h5 is None:
+            self._h5 = h5py.File(str(self.ev_repr_file), "r")
+        return self._h5
+
+    def close(self) -> None:
+        if self._h5 is not None:
+            self._h5.close()
+            self._h5 = None
+
+    def get_ev_repr(self, start: int, end: int) -> np.ndarray:
+        """[start, end) representations as (T, H, W, C) uint8 (NHWC)."""
+        assert 0 <= start < end <= self.num_ev_repr
+        data = self._file()["data"][start:end]  # (T, C, H, W)
+        return np.ascontiguousarray(np.transpose(data, (0, 2, 3, 1)))
+
+    def labels_at_repr_idx(self, repr_idx: int) -> Optional[FrameLabels]:
+        objframe = self._repr_idx_2_objframe_idx.get(repr_idx)
+        return None if objframe is None else self.labels[objframe]
+
+    # -- streaming clip ranges -----------------------------------------------
+    def streams(self, seq_len: int, guarantee_labels: bool) -> List[List[Tuple[int, int]]]:
+        """Independent streams of consecutive [start, end) clip windows.
+
+        guarantee_labels=True (training): labeled frames are grouped wherever
+        consecutive labels are <= seq_len apart; each group becomes its own
+        stream tiled from ``max(first_label - seq_len + 1, 0)`` so every clip
+        contains at least one label (sequence_for_streaming.py:21-50,87-111).
+        The recurrent state resets at each stream start.
+
+        guarantee_labels=False (eval): one stream from
+        ``max(first_label - seq_len + 1, 0)`` to the end of the sequence
+        (sequence_for_streaming.py:72-74).
+        """
+        n = self.num_ev_repr
+        idx = self.objframe_idx_2_repr_idx
+        if len(idx) == 0:
+            return []
+
+        def tile(start: int, stop: int) -> List[Tuple[int, int]]:
+            return [(s, min(s + seq_len, stop)) for s in range(start, stop, seq_len)]
+
+        if not guarantee_labels:
+            start = max(int(idx[0]) - seq_len + 1, 0)
+            return [tile(start, n)]
+
+        # Group labels at gaps > seq_len (reference _get_ev_repr_range_indices).
+        stops = np.flatnonzero(np.diff(idx) > seq_len)
+        starts = np.concatenate(([0], stops + 1))
+        stops = np.concatenate((stops, [len(idx) - 1]))
+        streams = []
+        for a, b in zip(starts, stops):
+            start = max(int(idx[a]) - seq_len + 1, 0)
+            stop = int(idx[b]) + 1
+            streams.append(tile(start, stop))
+        return streams
+
+    # -- random-access samples -------------------------------------------------
+    def num_random_access_samples(self) -> int:
+        return len(self.objframe_idx_2_repr_idx)
+
+    def random_access_sample(self, objframe_idx: int, seq_len: int):
+        """The seq_len reprs ending at labeled frame `objframe_idx`
+        (sequence_rnd.py:30-70); shorter at sequence start."""
+        end = int(self.objframe_idx_2_repr_idx[objframe_idx]) + 1
+        start = max(0, end - seq_len)
+        ev = self.get_ev_repr(start, end)
+        labels: List[Optional[FrameLabels]] = [
+            self.labels_at_repr_idx(r) for r in range(start, end)
+        ]
+        # In random-access mode, only the final (labeled) frame is used for
+        # the loss (the preceding frames warm the recurrent state).
+        labels = [None] * (len(labels) - 1) + [labels[-1]]
+        return ev, labels
+
+    def label_class_histogram(self, num_classes: int) -> np.ndarray:
+        """Per-class GT counts (for the weighted random sampler,
+        dataset_rnd.py:115-149)."""
+        counts = np.zeros((num_classes,), np.int64)
+        cls = self.labels._all.class_id.astype(np.int64)
+        np.add.at(counts, np.clip(cls, 0, num_classes - 1), 1)
+        return counts
+
+
+class ClipIterator:
+    """Iterates (ev_repr, labels, is_first) clips over one stream of ranges.
+
+    Clips shorter than seq_len (stream tails) are zero-padded with an
+    ``is_padded_mask`` marking real frames (sequence_for_streaming.py:137-181).
+    """
+
+    def __init__(self, reader: SequenceReader, seq_len: int, ranges: List[Tuple[int, int]]):
+        self.reader = reader
+        self.seq_len = seq_len
+        self.ranges = ranges
+
+    def __len__(self) -> int:
+        return len(self.ranges)
+
+    def __iter__(self) -> Iterator[dict]:
+        first = True
+        for start, end in self.ranges:
+            ev = self.reader.get_ev_repr(start, end)
+            labels = [
+                self.reader.labels_at_repr_idx(r) for r in range(start, end)
+            ]
+            n_real = ev.shape[0]
+            n_pad = self.seq_len - n_real
+            mask = np.ones((self.seq_len,), bool)
+            if n_pad > 0:
+                ev = np.concatenate(
+                    [ev, np.zeros((n_pad, *ev.shape[1:]), ev.dtype)], axis=0
+                )
+                labels = labels + [None] * n_pad
+                mask[n_real:] = False
+            yield {
+                "ev_repr": ev,
+                "labels": labels,
+                "is_first": first,
+                "is_padded_mask": mask,
+            }
+            first = False

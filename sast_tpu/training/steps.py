@@ -42,6 +42,7 @@ from sast_tpu.models.head import inference_outputs
 from sast_tpu.models.losses import yolox_loss
 from sast_tpu.ops.nms import postprocess
 from sast_tpu.training.optimizer import build_optimizer
+from sast_tpu.utils.padding import InputPadder
 
 
 class TrainState(train_state.TrainState):
@@ -116,15 +117,20 @@ def make_train_step(
     in_stages = tuple(cfg.model.fpn.in_stages)
     num_classes = cfg.model.head.num_classes
     topk = cfg.model.head.simota_topk
+    padder = InputPadder(cfg.model.backbone.in_res_hw)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], lstm_states):
         lstm_states = _reset_states(lstm_states, batch["is_first"])
         T, B = batch["ev_repr"].shape[:2]
         L = batch["frame_tidx"].shape[1]
+        # Events arrive uint8 at native resolution; cast + pad on device.
+        ev_repr = padder.pad_tensor_ev_repr(
+            batch["ev_repr"].astype(jnp.float32)
+        )
 
         def loss_fn(params):
             final_states, feats_seq, p_seq = _backbone_scan(
-                model, params, batch["ev_repr"], lstm_states, in_stages,
+                model, params, ev_repr, lstm_states, in_stages,
                 deterministic=True,
             )
             # Lane-local gather of labeled frames: (T, B, ...) -> (B, L, ...).
@@ -184,15 +190,19 @@ def make_eval_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
     in_stages = tuple(cfg.model.fpn.in_stages)
     pp = cfg.model.postprocess
     num_classes = cfg.model.head.num_classes
+    padder = InputPadder(cfg.model.backbone.in_res_hw)
 
     def eval_step(variables, batch: Dict[str, jnp.ndarray], lstm_states):
         lstm_states = _reset_states(lstm_states, batch["is_first"])
         T, B = batch["ev_repr"].shape[:2]
         L = batch["frame_tidx"].shape[1]
         params = variables["params"]
+        ev_repr = padder.pad_tensor_ev_repr(
+            batch["ev_repr"].astype(jnp.float32)
+        )
 
         final_states, feats_seq, _ = _backbone_scan(
-            model, params, batch["ev_repr"], lstm_states, in_stages,
+            model, params, ev_repr, lstm_states, in_stages,
             deterministic=True,
         )
         lane = jnp.arange(B)[:, None]

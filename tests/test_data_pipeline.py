@@ -1,0 +1,233 @@
+"""Data pipeline tests over a synthetic on-disk dataset in the GenX layout."""
+
+import numpy as np
+import pytest
+
+from sast_tpu.config import get_test_config
+from sast_tpu.data.batch import assemble_batch, split_device_batch
+from sast_tpu.data.module import DataModule
+from sast_tpu.data.sequence import ClipIterator, SequenceReader
+from sast_tpu.data.streaming import (
+    ConcatStreamsSampler,
+    ShardedEvalSampler,
+    zigzag_assign,
+)
+
+H, W, C = 240, 304, 4  # gen1 native resolution, few channels
+LABEL_DTYPE = np.dtype(
+    [
+        ("t", "<u8"),
+        ("x", "<f4"),
+        ("y", "<f4"),
+        ("w", "<f4"),
+        ("h", "<f4"),
+        ("class_id", "<u4"),
+        ("class_confidence", "<f4"),
+    ]
+)
+
+
+def _make_sequence(root, name, num_repr, labeled_reprs, seed=0):
+    """Create one sequence dir in the reference on-disk layout."""
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    seq = root / name
+    ev_dir = seq / "event_representations_v2" / "test_repr"
+    ev_dir.mkdir(parents=True)
+    (seq / "labels_v2").mkdir(parents=True)
+
+    data = (rng.rand(num_repr, C, H, W) * 4).astype(np.uint8)
+    with h5py.File(str(ev_dir / "event_representations.h5"), "w") as f:
+        f.create_dataset("data", data=data, chunks=(1, C, H, W))
+    np.save(str(ev_dir / "objframe_idx_2_repr_idx.npy"), np.asarray(labeled_reprs))
+    np.save(
+        str(ev_dir / "timestamps_us.npy"),
+        np.arange(num_repr, dtype=np.int64) * 50_000,
+    )
+
+    rows = []
+    start_idx = []
+    for r in labeled_reprs:
+        start_idx.append(len(rows))
+        for _ in range(rng.randint(1, 4)):
+            w = rng.uniform(20, 60)
+            h = rng.uniform(20, 60)
+            rows.append(
+                (
+                    r * 50_000,
+                    rng.uniform(0, W - w - 2),
+                    rng.uniform(0, H - h - 2),
+                    w,
+                    h,
+                    rng.randint(0, 2),
+                    1.0,
+                )
+            )
+    labels = np.array(rows, dtype=LABEL_DTYPE)
+    np.savez(
+        str(seq / "labels_v2" / "labels.npz"),
+        labels=labels,
+        objframe_idx_2_label_idx=np.asarray(start_idx, np.int64),
+    )
+    np.save(
+        str(seq / "labels_v2" / "timestamps_us.npy"),
+        np.asarray(labeled_reprs, np.int64) * 50_000,
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("genx")
+    for split, seeds in [("train", (0, 1, 2)), ("val", (3, 4))]:
+        d = root / split
+        d.mkdir()
+        # label gaps: seq A dense labels, seq B has a big gap -> two streams
+        _make_sequence(d, f"seq_a{seeds[0]}", 20, [3, 7, 11, 15, 19], seeds[0])
+        _make_sequence(d, f"seq_b{seeds[1]}", 30, [2, 5, 25, 29], seeds[1])
+        if len(seeds) > 2:
+            _make_sequence(d, f"seq_c{seeds[2]}", 12, [4, 9], seeds[2])
+    return root
+
+
+def _cfg(dataset_root):
+    import dataclasses
+
+    cfg = get_test_config()
+    ds = dataclasses.replace(
+        cfg.dataset,
+        path=str(dataset_root),
+        ev_repr_name="test_repr",
+        sequence_length=5,
+    )
+    return dataclasses.replace(cfg, dataset=ds)
+
+
+def test_sequence_reader_and_streams(dataset_root):
+    r = SequenceReader(
+        dataset_root / "train" / "seq_b1", "test_repr", "gen1", False
+    )
+    assert r.num_ev_repr == 30
+    ev = r.get_ev_repr(0, 3)
+    assert ev.shape == (3, H, W, C) and ev.dtype == np.uint8
+
+    # labels at labeled reprs only
+    assert r.labels_at_repr_idx(2) is not None
+    assert r.labels_at_repr_idx(3) is None
+
+    # guarantee_labels: gap 5->25 (> seq_len 5) splits into two streams
+    streams = r.streams(seq_len=5, guarantee_labels=True)
+    assert len(streams) == 2
+    # every training clip contains at least one label
+    for ranges in streams:
+        for s, e in ranges:
+            assert any(
+                r.labels_at_repr_idx(i) is not None for i in range(s, e)
+            ), (s, e)
+
+    # eval: single stream starting at max(first_label - L + 1, 0)
+    eval_streams = r.streams(seq_len=5, guarantee_labels=False)
+    assert len(eval_streams) == 1
+    assert eval_streams[0][0][0] == max(2 - 5 + 1, 0)
+    assert eval_streams[0][-1][1] == 30
+
+
+def test_clip_iterator_padding(dataset_root):
+    r = SequenceReader(
+        dataset_root / "train" / "seq_a0", "test_repr", "gen1", False
+    )
+    ranges = r.streams(5, guarantee_labels=True)[0]
+    clips = list(ClipIterator(r, 5, ranges))
+    assert clips[0]["is_first"] and not any(c["is_first"] for c in clips[1:])
+    for c in clips:
+        assert c["ev_repr"].shape == (5, H, W, C)
+        assert len(c["labels"]) == 5
+    # tail clip padding mask
+    tail = clips[-1]
+    n_real = ranges[-1][1] - ranges[-1][0]
+    assert tail["is_padded_mask"].sum() == n_real
+
+
+def test_zigzag_assign_balance():
+    lanes = zigzag_assign([10, 9, 8, 7, 6, 5, 4, 3], 4)
+    loads = [sum([10, 9, 8, 7, 6, 5, 4, 3][i] for i in lane) for lane in lanes]
+    assert max(loads) - min(loads) <= 3
+    # all items assigned exactly once
+    assert sorted(i for lane in lanes for i in lane) == list(range(8))
+
+
+def test_sharded_eval_sampler_covers_all_clips(dataset_root):
+    cfg = _cfg(dataset_root)
+    dm = DataModule(cfg)
+    readers = dm._readers("val")
+    streams = dm._stream_clips(readers, guarantee_labels=False)
+    total_clips = sum(len(s) for s in streams)
+
+    # world of 2 processes, batch 2 per process
+    seen = 0
+    steps = []
+    for rank in (0, 1):
+        sampler = ShardedEvalSampler(streams, 2, rank=rank, world_size=2)
+        n = 0
+        for batch in sampler:
+            assert len(batch) == 2
+            seen += sum(c["is_padded_mask"].any() for c in batch)
+            n += 1
+        steps.append(n)
+    assert steps[0] == steps[1]  # every process steps the same count
+    assert seen == total_clips  # no clip lost, none duplicated
+
+
+def test_concat_streams_lane_continuity(dataset_root):
+    cfg = _cfg(dataset_root)
+    dm = DataModule(cfg)
+    streams = dm._stream_clips(dm._readers("train"), guarantee_labels=True)
+    sampler = ConcatStreamsSampler(streams, batch_size=2, augmentor=None, seed=1)
+    it = iter(sampler)
+    batches = [next(it) for _ in range(8)]
+    # each lane yields a clip every batch; is_first marks stream boundaries
+    for b in batches:
+        assert len(b) == 2
+    firsts = [c["is_first"] for b in batches for c in b]
+    assert any(firsts)
+
+
+def test_assemble_batch_layout(dataset_root):
+    cfg = _cfg(dataset_root)
+    dm = DataModule(cfg)
+    streams = dm._stream_clips(dm._readers("train"), guarantee_labels=True)
+    clips = [next(iter(ClipIterator(s.reader, 5, s.ranges))) for s in streams[:2]]
+    batch = assemble_batch(clips, max_labeled_frames=2, max_gt=8)
+    dev, host = split_device_batch(batch)
+    assert dev["ev_repr"].shape == (5, 2, H, W, C)
+    assert dev["ev_repr"].dtype == np.uint8
+    assert dev["frame_tidx"].shape == (2, 2)
+    assert dev["gt_boxes"].shape == (2, 2, 8, 4)
+    assert dev["is_first"].all()
+    assert "_labels" in host and "_labels" not in dev
+    # every valid frame has at least one valid GT
+    fv = dev["frame_valid"]
+    gv = dev["gt_valid"]
+    assert fv.any()
+    assert (gv.any(-1) == fv).all()
+
+
+def test_train_batches_end_to_end(dataset_root):
+    cfg = _cfg(dataset_root)
+    dm = DataModule(cfg)
+    it = iter(dm.train_batches(prefetch=False))
+    for _ in range(3):
+        batch = next(it)
+        assert batch["ev_repr"].shape[0] == 5
+        assert batch["ev_repr"].shape[1] == cfg.training.batch_size_train
+        assert batch["frame_valid"].any()
+
+
+def test_eval_batches_end_to_end(dataset_root):
+    cfg = _cfg(dataset_root)
+    dm = DataModule(cfg)
+    n = 0
+    for batch in dm.eval_batches("val", prefetch=False):
+        n += 1
+        assert batch["ev_repr"].shape[1] == cfg.training.batch_size_eval
+    assert n > 0
