@@ -1,0 +1,102 @@
+"""Orbax checkpointing: best-on-val/AP + last, with resume.
+
+TPU-native equivalent of the reference checkpoint policy
+(/root/reference/callbacks/custom.py:8-31 — ModelCheckpoint monitoring
+'val/AP', top-1 plus 'last') and the resume paths of train.py:110-121
+(full training state) / validation.py:61 (weights only).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Keeps the best-AP checkpoint and the most recent one."""
+
+    def __init__(self, directory: str, max_last: int = 1):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1 + max_last,
+                best_fn=lambda metrics: metrics.get("val_AP", -1.0),
+                best_mode="max",
+                keep_checkpoints_without_metrics=True,
+            ),
+        )
+
+    def save(
+        self,
+        step: int,
+        state: Any,
+        lstm_shapes: Optional[Dict] = None,
+        metrics: Optional[Dict[str, float]] = None,
+    ) -> None:
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+            ),
+            metrics=dict(metrics or {}),
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def restore(self, state: Any, step: Optional[int] = None) -> Any:
+        """Restore a full TrainState (optimizer included)."""
+        step = step if step is not None else self._mgr.latest_step()
+        assert step is not None, "no checkpoint to restore"
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+        )["state"]
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def restore_weights(self, state: Any, step: Optional[int] = None) -> Any:
+        """Weights-only restore (reference resume_only_weights)."""
+        step = step if step is not None else self._mgr.best_step() or self._mgr.latest_step()
+        assert step is not None, "no checkpoint to restore"
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+        )["state"]
+        return state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+
+    def close(self) -> None:
+        self._mgr.close()

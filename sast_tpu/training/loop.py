@@ -1,0 +1,233 @@
+"""Training loop driver: fit / validate, checkpointing, logging, telemetry.
+
+Orchestration equivalent of the reference Lightning Module + Trainer wiring
+(/root/reference/modules/detection.py + train.py): streaming/mixed batches,
+per-lane recurrent state carried across steps, periodic Prophesee evaluation,
+best-AP checkpointing, smoothed sparsity telemetry on the progress line.
+
+Everything device-side is two jitted functions (train_step/eval_step);
+the loop is plain Python over the host prefetcher.
+
+Run a synthetic smoke train: ``python -m sast_tpu.training.loop --smoke``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sast_tpu.config import ExperimentConfig
+from sast_tpu.data.batch import split_device_batch
+from sast_tpu.eval.prophesee import PropheseeEvaluator, detections_to_prophesee
+from sast_tpu.models.backbone import zero_states
+from sast_tpu.training.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from sast_tpu.utils.logging import MetricLogger, SmoothedValue
+
+
+def _model_dtype(cfg: ExperimentConfig):
+    return jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        workdir: str,
+        use_wandb: bool = False,
+        log_every: int = 50,
+        val_every: Optional[int] = 10_000,
+        ckpt_every: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.logger = MetricLogger(workdir, use_wandb=use_wandb)
+        self.log_every = log_every
+        self.val_every = val_every
+        self.ckpt_every = ckpt_every
+
+        seed = cfg.training.seed if cfg.training.seed is not None else 0
+        self.state, self.model = create_train_state(cfg, jax.random.PRNGKey(seed))
+        self.train_step = jax.jit(
+            make_train_step(self.model, cfg), donate_argnums=(0, 2)
+        )
+        self.eval_step = jax.jit(make_eval_step(self.model, cfg), donate_argnums=(2,))
+        self._ckpt = None
+        self.p_smooth = SmoothedValue()
+
+    # -- checkpointing -----------------------------------------------------
+    @property
+    def ckpt(self):
+        if self._ckpt is None:
+            from sast_tpu.checkpoint.orbax_io import CheckpointManager
+
+            self._ckpt = CheckpointManager(os.path.join(self.workdir, "ckpts"))
+        return self._ckpt
+
+    def maybe_resume(self, resume: bool, weights_only: bool = False) -> None:
+        if not resume:
+            return
+        if self.ckpt.latest_step() is None:
+            print("no checkpoint found; starting fresh", file=sys.stderr)
+            return
+        if weights_only:
+            self.state = self.ckpt.restore_weights(self.state)
+        else:
+            self.state = self.ckpt.restore(self.state)
+        print(f"resumed from step {int(self.state.step)}", file=sys.stderr)
+
+    # -- validation ---------------------------------------------------------
+    def validate(self, eval_batches: Iterable[dict], max_batches: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        evaluator = PropheseeEvaluator(
+            cfg.dataset.name, cfg.dataset.downsample_by_factor_2
+        )
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        lstm = None
+        n = 0
+        for batch in eval_batches:
+            device_batch, host = split_device_batch(batch)
+            device_batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
+            if lstm is None:
+                B = device_batch["ev_repr"].shape[1]
+                lstm = zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
+            lstm, dets = self.eval_step(variables, device_batch, lstm)
+            dets_np = jax.device_get(dets)
+
+            labels_flat = [fl for lane in host["_labels"] for fl in lane]
+            frame_valid = batch["frame_valid"].reshape(-1)
+            sel, times, gts = [], [], []
+            for f, fl in enumerate(labels_flat):
+                if not frame_valid[f] or fl is None or len(fl) == 0:
+                    continue
+                t = np.unique(fl.t)
+                assert t.size == 1, "labels of one frame share a timestamp"
+                sel.append(f)
+                times.append(int(t[0]))
+                gts.append(fl.to_structured())
+            if sel:
+                sub = {k: v[np.asarray(sel)] for k, v in dets_np.items()}
+                preds = detections_to_prophesee(sub, times)
+                evaluator.add_labels(gts)
+                evaluator.add_predictions(preds)
+            n += 1
+            if max_batches is not None and n >= max_batches:
+                break
+
+        if not evaluator.has_data():
+            return {}
+        h, w = cfg.model.backbone.in_res_hw
+        metrics = evaluator.evaluate_buffer(h, w) or {}
+        return {f"val/{k}": v for k, v in metrics.items()}
+
+    # -- fit ------------------------------------------------------------------
+    def fit(
+        self,
+        train_batches: Iterable[dict],
+        eval_loader_fn: Optional[Callable[[], Iterable[dict]]] = None,
+        max_steps: Optional[int] = None,
+        eval_max_batches: Optional[int] = None,
+    ) -> Dict[str, float]:
+        cfg = self.cfg
+        max_steps = max_steps or cfg.training.max_steps
+        lstm = None
+        last_metrics: Dict[str, float] = {}
+        t_last = time.time()
+        step = int(self.state.step)
+
+        for batch in train_batches:
+            if step >= max_steps:
+                break
+            device_batch, _ = split_device_batch(batch)
+            device_batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
+            if lstm is None:
+                B = device_batch["ev_repr"].shape[1]
+                lstm = zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
+            self.state, lstm, metrics = self.train_step(self.state, device_batch, lstm)
+            step += 1
+
+            if step % self.log_every == 0 or step == 1:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                sn = self.p_smooth.update(metrics.pop("P"))
+                dt = (time.time() - t_last) / min(self.log_every, step)
+                t_last = time.time()
+                log = {f"train/{k}": v for k, v in metrics.items()}
+                log.update({"train/SN": sn, "train/step_time_s": dt})
+                self.logger.log(log, step)
+                print(
+                    f"step {step}  loss {metrics['loss']:.3f}  "
+                    f"SN {sn:.0f}  {dt * 1000:.0f} ms/step",
+                    file=sys.stderr,
+                )
+                last_metrics = log
+
+            run_val = (
+                eval_loader_fn is not None
+                and self.val_every is not None
+                and step % self.val_every == 0
+            )
+            if run_val:
+                val_metrics = self.validate(
+                    eval_loader_fn(), max_batches=eval_max_batches
+                )
+                if val_metrics:
+                    self.logger.log(val_metrics, step)
+                    print(
+                        "  ".join(f"{k}={v:.4f}" for k, v in val_metrics.items()),
+                        file=sys.stderr,
+                    )
+                    last_metrics.update(val_metrics)
+                self.ckpt.save(
+                    step,
+                    self.state,
+                    metrics={"val_AP": val_metrics.get("val/AP", -1.0)},
+                )
+            elif self.ckpt_every is not None and step % self.ckpt_every == 0:
+                self.ckpt.save(step, self.state, metrics={})
+
+        return last_metrics
+
+
+def _smoke() -> None:
+    """Synthetic-data smoke train on the current default device."""
+    from sast_tpu.config import get_test_config
+    from sast_tpu.data.synthetic import synthetic_train_batch
+    from sast_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = get_test_config()
+    trainer = Trainer(
+        cfg, workdir="/tmp/sast_smoke", log_every=2, val_every=None
+    )
+
+    def batches():
+        rng = np.random.RandomState(0)
+        i = 0
+        while True:
+            b = synthetic_train_batch(cfg, rng)
+            b["is_first"] = np.full((b["ev_repr"].shape[1],), i == 0)
+            yield b
+            i += 1
+
+    metrics = trainer.fit(batches(), max_steps=6)
+    loss = metrics.get("train/loss")
+    assert loss is not None and np.isfinite(loss), metrics
+    print(f"smoke ok: {metrics}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    if "--smoke" in sys.argv:
+        _smoke()
+    else:
+        print("use train.py for real training, or --smoke", file=sys.stderr)

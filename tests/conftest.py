@@ -24,3 +24,81 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sast_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+LABEL_DTYPE = np.dtype(
+    [
+        ("t", "<u8"),
+        ("x", "<f4"),
+        ("y", "<f4"),
+        ("w", "<f4"),
+        ("h", "<f4"),
+        ("class_id", "<u4"),
+        ("class_confidence", "<f4"),
+    ]
+)
+
+
+def make_sequence(root, name, num_repr, labeled_reprs, seed=0, hw=(240, 304), ch=4):
+    """Create one synthetic sequence dir in the reference on-disk layout."""
+    import h5py
+
+    H, W = hw
+    rng = np.random.RandomState(seed)
+    seq = root / name
+    ev_dir = seq / "event_representations_v2" / "test_repr"
+    ev_dir.mkdir(parents=True)
+    (seq / "labels_v2").mkdir(parents=True)
+
+    data = (rng.rand(num_repr, ch, H, W) * 4).astype(np.uint8)
+    with h5py.File(str(ev_dir / "event_representations.h5"), "w") as f:
+        f.create_dataset("data", data=data, chunks=(1, ch, H, W))
+    np.save(str(ev_dir / "objframe_idx_2_repr_idx.npy"), np.asarray(labeled_reprs))
+    np.save(
+        str(ev_dir / "timestamps_us.npy"),
+        np.arange(num_repr, dtype=np.int64) * 50_000,
+    )
+
+    rows = []
+    start_idx = []
+    for r in labeled_reprs:
+        start_idx.append(len(rows))
+        for _ in range(rng.randint(1, 4)):
+            w = rng.uniform(20, 60)
+            h = rng.uniform(20, 60)
+            rows.append(
+                (
+                    r * 50_000,
+                    rng.uniform(0, W - w - 2),
+                    rng.uniform(0, H - h - 2),
+                    w,
+                    h,
+                    rng.randint(0, 2),
+                    1.0,
+                )
+            )
+    labels = np.array(rows, dtype=LABEL_DTYPE)
+    np.savez(
+        str(seq / "labels_v2" / "labels.npz"),
+        labels=labels,
+        objframe_idx_2_label_idx=np.asarray(start_idx, np.int64),
+    )
+    np.save(
+        str(seq / "labels_v2" / "timestamps_us.npy"),
+        np.asarray(labeled_reprs, np.int64) * 50_000,
+    )
+
+
+@pytest.fixture(scope="session")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("genx")
+    for split, seeds in [("train", (0, 1, 2)), ("val", (3, 4)), ("test", (5, 6))]:
+        d = root / split
+        d.mkdir()
+        make_sequence(d, f"seq_a{seeds[0]}", 20, [3, 7, 11, 15, 19], seeds[0])
+        make_sequence(d, f"seq_b{seeds[1]}", 30, [2, 5, 25, 29], seeds[1])
+        if len(seeds) > 2:
+            make_sequence(d, f"seq_c{seeds[2]}", 12, [4, 9], seeds[2])
+    return root

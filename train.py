@@ -1,0 +1,90 @@
+"""Training CLI.
+
+Equivalent of the reference train.py (Hydra CLI -> PL Trainer.fit): builds the
+resolved config from dataset/size presets plus dotted overrides, wires the
+data module, and runs the training loop with periodic Prophesee validation and
+best-AP checkpointing.
+
+Examples:
+    python train.py --dataset gen1 --size base --data /data/gen1 \
+        --workdir runs/gen1_base
+    python train.py --dataset gen4 --size base --data /data/gen4 \
+        --set training.learning_rate=2e-4 --resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+
+
+def parse_overrides(pairs):
+    out = {}
+    for pair in pairs or []:
+        key, _, value = pair.partition("=")
+        assert _ == "=", f"override must be key=value: {pair}"
+        try:
+            out[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            out[key] = value
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", choices=("gen1", "gen4"), default="gen1")
+    ap.add_argument("--size", choices=("tiny", "small", "base", "large"), default="base")
+    ap.add_argument("--data", required=True, help="preprocessed dataset root")
+    ap.add_argument("--workdir", default="runs/default")
+    ap.add_argument("--set", dest="overrides", action="append", metavar="KEY=VALUE")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--resume-only-weights", action="store_true")
+    ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--val-every", type=int, default=10_000)
+    ap.add_argument("--log-every", type=int, default=50)
+    args = ap.parse_args()
+
+    from sast_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from sast_tpu.config import get_config
+    from sast_tpu.data.module import DataModule
+    from sast_tpu.parallel.mesh import process_shard_info
+    from sast_tpu.training.loop import Trainer
+    from sast_tpu.training.optimizer import scale_lr_for_global_batch
+
+    overrides = parse_overrides(args.overrides)
+    overrides.setdefault("dataset.path", args.data)
+    cfg = get_config(args.dataset, args.size, **overrides)
+
+    rank, world = process_shard_info()
+    lr = scale_lr_for_global_batch(
+        cfg.training.learning_rate, cfg.training.batch_size_train * max(world, 1)
+    ) if world > 1 else cfg.training.learning_rate
+    print(f"rank {rank}/{world}  lr {lr:.3e}", file=sys.stderr)
+
+    dm = DataModule(cfg, rank=rank, world_size=world)
+    trainer = Trainer(
+        cfg,
+        workdir=args.workdir,
+        use_wandb=args.wandb,
+        log_every=args.log_every,
+        val_every=args.val_every,
+    )
+    trainer.maybe_resume(args.resume or args.resume_only_weights,
+                         weights_only=args.resume_only_weights)
+
+    # NOTE: like the reference (modules/data/genx.py:161-162), validation
+    # during fit streams the *test* split.
+    trainer.fit(
+        dm.train_batches(seed=cfg.training.seed or 0),
+        eval_loader_fn=lambda: dm.eval_batches("test"),
+        max_steps=args.max_steps,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Validation/test CLI.
+
+Equivalent of the reference validation.py: loads a checkpoint (weights only),
+streams the requested split, and prints the Prophesee COCO metrics.
+
+    python validation.py --dataset gen1 --size base --data /data/gen1 \
+        --ckpt runs/gen1_base/ckpts --split test
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", choices=("gen1", "gen4"), default="gen1")
+    ap.add_argument("--size", choices=("tiny", "small", "base", "large"), default="base")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--ckpt", required=True, help="checkpoint directory (orbax) or torch .ckpt file")
+    ap.add_argument("--split", choices=("val", "test"), default="val")
+    ap.add_argument("--set", dest="overrides", action="append", metavar="KEY=VALUE")
+    ap.add_argument("--max-batches", type=int, default=None)
+    args = ap.parse_args()
+
+    from sast_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from train import parse_overrides
+    from sast_tpu.config import get_config
+    from sast_tpu.data.module import DataModule
+    from sast_tpu.training.loop import Trainer
+
+    overrides = parse_overrides(args.overrides)
+    overrides.setdefault("dataset.path", args.data)
+    cfg = get_config(args.dataset, args.size, **overrides)
+
+    trainer = Trainer(cfg, workdir="/tmp/sast_val", val_every=None)
+    if args.ckpt.endswith(".ckpt") or args.ckpt.endswith(".pth"):
+        from sast_tpu.checkpoint.torch_convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(args.ckpt, cfg.model)
+        trainer.state = trainer.state.replace(params=params)
+    else:
+        from sast_tpu.checkpoint.orbax_io import CheckpointManager
+
+        mgr = CheckpointManager(args.ckpt)
+        trainer.state = mgr.restore_weights(trainer.state)
+
+    dm = DataModule(cfg)
+    metrics = trainer.validate(
+        dm.eval_batches(args.split), max_batches=args.max_batches
+    )
+    for k, v in metrics.items():
+        print(f"{k:12s} | {v * 100:.4f}%", file=sys.stderr)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
