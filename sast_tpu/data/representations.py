@@ -59,6 +59,13 @@ class StackedHistogram:
         pol = pol.astype(np.int64)
         assert pol.min() >= 0 and pol.max() <= 1
 
+        from sast_tpu import native
+
+        if native.available():
+            return native.stacked_histogram(
+                x, y, pol, time, bn, ht, wd, self.count_cutoff
+            )
+
         t0, t1 = int(time[0]), int(time[-1])
         assert t1 >= t0
         t_norm = (time.astype(np.float64) - t0) / max(t1 - t0, 1)
@@ -114,6 +121,14 @@ class MixedDensityEventStack:
         bin_float = bn - np.log(t_norm) / np.log(0.5)
         t_idx = np.floor(np.clip(bin_float, 0, None)).astype(np.int64)
 
+        from sast_tpu import native
+
+        if native.available():
+            return native.mixed_density_stack(
+                x, y, pol.astype(np.int64), time, bn, ht, wd,
+                self.count_cutoff or 0,
+            )
+
         indices = x.astype(np.int64) + wd * y.astype(np.int64) + ht * wd * t_idx
         np.add.at(rep, indices, pol_signed)
         rep = rep.reshape(bn, ht, wd)
@@ -121,6 +136,7 @@ class MixedDensityEventStack:
         rep = np.cumsum(rep, axis=0)
         if self.count_cutoff is not None:
             rep = np.clip(rep, -self.count_cutoff, self.count_cutoff)
+        rep = np.clip(rep, -128, 127)  # saturate instead of int8 wraparound
         return rep.astype(np.int8)
 
 

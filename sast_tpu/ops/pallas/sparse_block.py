@@ -1,0 +1,274 @@
+"""Pallas TPU kernel: sparse window transformer block with window skipping.
+
+The XLA masked path (models/sast.py) computes attention for EVERY window and
+discards unselected outputs — correct, but it pays full FLOPs regardless of
+scene sparsity. This kernel restores the reference's compute sparsity
+(SAST.py:199-255 gathers only kept windows) in a TPU-native way:
+
+- a compacted work list of kept-window ids is built in XLA (argsort of the
+  keep mask — static shape) and scalar-prefetched;
+- the grid covers all M = B*N windows, but programs beyond ``n_win`` exit
+  before doing any DMA or compute, so FLOPs and HBM traffic scale with the
+  number of *kept* windows (skipped programs cost only scheduling);
+- each active program DMAs its window (hw, C) from HBM, runs the fused
+  block — LN2 on kept tokens, qkv projection, per-head masked attention
+  (key mask = -1e4, reference semantics), proj + LayerScale residual,
+  gated-GELU MLP + LayerScale residual — and DMAs the result back over the
+  aliased output, leaving skipped windows at their pass-through (norm1)
+  values.
+
+Mosaic requires HBM window slices to be lane-aligned, so channels are padded
+to a multiple of 128 at the call site (zero padding; LayerNorm statistics are
+computed over the real channel count inside the kernel). Stage dims >= 128
+pay nothing.
+
+Inference-path kernel (no custom VJP yet); training uses the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e4
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _block_kernel(
+    # scalar prefetch
+    ids_ref,
+    nwin_ref,
+    # operands
+    y_hbm,
+    keep_hbm,
+    ln2s_ref,
+    ln2b_ref,
+    wqkv_ref,
+    bqkv_ref,
+    wproj_ref,
+    bproj_ref,
+    ls1_ref,
+    wglu_ref,
+    bglu_ref,
+    wout_ref,
+    bout_ref,
+    ls2_ref,
+    # output
+    out_hbm,
+    # scratch
+    x_vmem,
+    keep_vmem,
+    o_vmem,
+    sem_x,
+    sem_k,
+    sem_o,
+    *,
+    c_real: int,
+    num_heads: int,
+    dim_head: int,
+    norm_eps: float,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i < nwin_ref[0])
+    def _():
+        wid = ids_ref[i]
+        cp_x = pltpu.make_async_copy(y_hbm.at[wid], x_vmem, sem_x)
+        cp_k = pltpu.make_async_copy(keep_hbm.at[wid], keep_vmem, sem_k)
+        cp_x.start()
+        cp_k.start()
+        cp_x.wait()
+        cp_k.wait()
+
+        y_pad = x_vmem[:].astype(jnp.float32)  # (hw, c_pad), zero beyond c_real
+        keep = keep_vmem[:, :1] > 0.5  # (hw, 1)
+        c_pad = y_pad.shape[-1]
+        y = y_pad[:, :c_real] if c_pad != c_real else y_pad
+
+        # LN2 over the real channels (fp32).
+        mu = jnp.sum(y, axis=-1, keepdims=True) / c_real
+        var = jnp.sum((y - mu) ** 2, axis=-1, keepdims=True) / c_real
+        z_ln = (y - mu) * jax.lax.rsqrt(var + norm_eps)
+        z_ln = z_ln * ln2s_ref[:] + ln2b_ref[:]
+        z = jnp.where(keep, z_ln, y)  # (hw, c_real)
+
+        zc = z.astype(wqkv_ref.dtype)
+        if c_pad != c_real:
+            zc = jnp.concatenate(
+                [zc, jnp.zeros((zc.shape[0], c_pad - c_real), zc.dtype)], axis=-1
+            )
+        qkv = (
+            jnp.dot(zc, wqkv_ref[:], preferred_element_type=jnp.float32)
+            + bqkv_ref[:]
+        )  # (hw, 3*c_real) fp32
+
+        scale = dim_head ** -0.5
+        key_mask = keep.reshape(1, -1)  # (1, hw)
+        head_outs = []
+        for h in range(num_heads):
+            lo = h * dim_head
+            q = qkv[:, lo : lo + dim_head]
+            k = qkv[:, c_real + lo : c_real + lo + dim_head]
+            v = qkv[:, 2 * c_real + lo : 2 * c_real + lo + dim_head]
+            logits = (
+                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            )
+            logits = jnp.where(key_mask, logits, MASK_VALUE)
+            attn = jax.nn.softmax(logits, axis=-1)
+            head_outs.append(
+                jnp.dot(
+                    attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+                )
+            )
+        attn_out = (
+            head_outs[0]
+            if num_heads == 1
+            else jnp.concatenate(head_outs, axis=-1)
+        )
+
+        proj = (
+            jnp.dot(
+                attn_out.astype(wproj_ref.dtype),
+                wproj_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bproj_ref[:]
+        )
+        h1 = z + ls1_ref[:] * proj
+
+        u = (
+            jnp.dot(
+                h1.astype(wglu_ref.dtype),
+                wglu_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bglu_ref[:]
+        )  # (hw, 2I)
+        inner = u.shape[-1] // 2
+        val, gate = u[:, :inner], u[:, inner:]
+        m = val * jax.nn.gelu(gate)
+        mlp = (
+            jnp.dot(
+                m.astype(wout_ref.dtype),
+                wout_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bout_ref[:]
+        )
+        h2 = h1 + ls2_ref[:] * mlp
+
+        out = jnp.where(keep, h2, y).astype(o_vmem.dtype)
+        if c_pad != c_real:
+            out = jnp.concatenate(
+                [out, jnp.zeros((out.shape[0], c_pad - c_real), out.dtype)],
+                axis=-1,
+            )
+        o_vmem[:] = out
+        cp_o = pltpu.make_async_copy(o_vmem, out_hbm.at[wid], sem_o)
+        cp_o.start()
+        cp_o.wait()
+
+
+def sparse_window_block(
+    y: jnp.ndarray,
+    token_keep: jnp.ndarray,
+    win_keep: jnp.ndarray,
+    params: Dict[str, jnp.ndarray],
+    num_heads: int,
+    dim_head: int,
+    norm_eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Apply the fused sparse block to kept windows only.
+
+    Args:
+      y: (M, hw, C) norm1-ed window tokens (M = B * N flattened). The output
+        equals y outside kept windows / unselected tokens.
+      token_keep: (M, hw) bool.
+      win_keep: (M,) bool.
+      params: dict with ln2_scale, ln2_bias, wqkv (C,3C), bqkv, wproj, bproj,
+        ls1, wglu (C,2I), bglu, wout (I,C), bout, ls2.
+
+    Returns (M, hw, C) array of y's dtype.
+    """
+    M, hw, C = y.shape
+    c_pad = _round_up(C, LANE)
+    n_win = jnp.sum(win_keep.astype(jnp.int32))
+    # Compacted work list: kept window ids first (stable order).
+    ids = jnp.argsort(~win_keep, stable=True).astype(jnp.int32)
+
+    y_in = y
+    if c_pad != C:
+        y_in = jnp.pad(y, ((0, 0), (0, 0), (0, c_pad - C)))
+    # keep mask broadcast to a lane-aligned fp32 plane (int8 compares do
+    # not lower in this Mosaic version)
+    keep_f32 = jnp.broadcast_to(
+        token_keep.astype(jnp.float32)[..., None], (M, hw, LANE)
+    )
+
+    def v2d(x):  # vectors as (1, D) rows for VMEM
+        return x.reshape(1, -1).astype(jnp.float32)
+
+    wqkv = params["wqkv"]
+    if c_pad != C:
+        wqkv = jnp.pad(wqkv, ((0, c_pad - C), (0, 0)))
+    weights = [
+        v2d(params["ln2_scale"]),
+        v2d(params["ln2_bias"]),
+        wqkv,
+        v2d(params["bqkv"]),
+        params["wproj"],
+        v2d(params["bproj"]),
+        v2d(params["ls1"]),
+        params["wglu"],
+        v2d(params["bglu"]),
+        params["wout"],
+        v2d(params["bout"]),
+        v2d(params["ls2"]),
+    ]
+
+    kernel = functools.partial(
+        _block_kernel,
+        c_real=C,
+        num_heads=num_heads,
+        dim_head=dim_head,
+        norm_eps=norm_eps,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ids, n_win
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # y (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # keep (HBM)
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((hw, c_pad), y.dtype),
+            pltpu.VMEM((hw, LANE), jnp.float32),
+            pltpu.VMEM((hw, c_pad), y.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(y_in.shape, y.dtype),
+        input_output_aliases={2: 0},  # y (first non-prefetch operand) -> out
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, jnp.asarray([n_win], jnp.int32), y_in, keep_f32, *weights)
+    if c_pad != C:
+        out = out[:, :, :C]
+    return out
