@@ -40,6 +40,7 @@ class SASTStage(nn.Module):
     num_blocks: int
     enable_token_masking: bool = False
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -83,6 +84,7 @@ class SASTStage(nn.Module):
                 attention=cfg.attention,
                 first_block=(i == 0),
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"block{i}",
             )(x, pos, r, masks, deterministic=deterministic)
             p_total = p_total + p_count
@@ -111,6 +113,7 @@ class SASTBackbone(nn.Module):
 
     cfg: BackboneConfig
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -141,6 +144,7 @@ class SASTBackbone(nn.Module):
                 num_blocks=cfg.num_blocks[idx],
                 enable_token_masking=cfg.enable_masking and idx == 0,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"stage{idx}",
             )(
                 x,

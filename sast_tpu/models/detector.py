@@ -31,11 +31,14 @@ def _dtype_from_str(name: str):
 class YoloXDetector(nn.Module):
     config: ModelConfig
     bn_axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     def setup(self):
         cfg = self.config
         dtype = _dtype_from_str(cfg.compute_dtype)
-        self.backbone = SASTBackbone(cfg=cfg.backbone, dtype=dtype)
+        self.backbone = SASTBackbone(
+            cfg=cfg.backbone, dtype=dtype, use_pallas=self.use_pallas
+        )
         in_channels = tuple(
             cfg.backbone.stage_dims[s - 1] for s in cfg.fpn.in_stages
         )

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sast_tpu.config import AttentionConfig
-from sast_tpu.models.layers import GatedMLP, LayerScale
+from sast_tpu.models.layers import GatedMLP, LayerScale, get_activation
 from sast_tpu.ops.partition import (
     grid_partition,
     grid_reverse,
@@ -76,6 +76,84 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+# --- explicit parameter declaration helpers ---------------------------------
+# The attention module declares its weights explicitly (instead of through
+# nn.Dense/nn.LayerNorm submodules) so the XLA masked path and the Pallas
+# window-skipping kernel share one parameter tree. Names and initializers
+# match the flax defaults exactly, keeping checkpoint compatibility.
+
+
+class DenseParams(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class LayerNormParams(nn.Module):
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (features,))
+        return scale, bias
+
+
+class GammaParams(nn.Module):
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, features: int):
+        return self.param(
+            "gamma", nn.initializers.constant(self.init_value), (features,)
+        )
+
+
+class GatedMlpParams(nn.Module):
+    """Parameter container matching GatedMLP's tree: GLU_0/Dense_0 + Dense_0."""
+
+    dim: int
+    inner_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        class _GLU(nn.Module):
+            inner: int
+            dim: int
+            use_bias: bool
+
+            @nn.compact
+            def __call__(self):
+                return DenseParams(2 * self.inner, self.use_bias, name="Dense_0")(
+                    self.dim
+                )
+
+        w_glu, b_glu = _GLU(self.inner_dim, self.dim, self.use_bias, name="GLU_0")()
+        w_out, b_out = DenseParams(self.dim, self.use_bias, name="Dense_0")(
+            self.inner_dim
+        )
+        return w_glu, b_glu, w_out, b_out
+
+
+def _layernorm(x: jnp.ndarray, scale, bias, eps: float) -> jnp.ndarray:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(dt)
+
+
 class MaskedSparseAttention(nn.Module):
     """MS-WSA: masked sparse window self-attention + gated MLP.
 
@@ -96,27 +174,82 @@ class MaskedSparseAttention(nn.Module):
     enable_cb: bool = False
     dtype: Optional[Dtype] = None
 
+    use_pallas: bool = False
+
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,
         token_keep: jnp.ndarray,
+        win_keep: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         B, N, hw, C = x.shape
         num_heads = self.dim // self.dim_head
+        import math
 
-        norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")
+        inner_dim = max(32, math.floor(C * self.mlp_ratio * 2 / 3 / 32) * 32)
 
-        y = norm1(x)
+        # ---- parameters (tree-compatible with the nn.Dense/LayerNorm form) --
+        n1_scale, n1_bias = LayerNormParams(name="norm1")(C)
+        n2_scale, n2_bias = LayerNormParams(name="norm2")(C)
+        w_qkv, b_qkv = DenseParams(3 * C, self.use_bias, name="qkv")(C)
+        w_proj, b_proj = DenseParams(C, self.use_bias, name="proj")(C)
+        ls1 = GammaParams(self.ls_init_value, name="ls1")(C)
+        ls2 = GammaParams(self.ls_init_value, name="ls2")(C)
+        w_glu, b_glu, w_out, b_out = GatedMlpParams(
+            C, inner_dim, self.mlp_bias, name="mlp"
+        )()
+        dt = self.dtype or x.dtype
+
+        y = _layernorm(x, n1_scale, n1_bias, self.norm_eps)
+
+        # ---- fused Pallas window-skipping path (inference) ------------------
+        use_pallas = (
+            self.use_pallas
+            and win_keep is not None
+            and not self.enable_cb
+            and self.drop_path == 0.0
+        )
+        if use_pallas:
+            from sast_tpu.ops.pallas.sparse_block import sparse_window_block
+
+            params = {
+                "ln2_scale": n2_scale,
+                "ln2_bias": n2_bias,
+                "wqkv": w_qkv.astype(dt),
+                "bqkv": b_qkv if b_qkv is not None else jnp.zeros((3 * C,)),
+                "wproj": w_proj.astype(dt),
+                "bproj": b_proj if b_proj is not None else jnp.zeros((C,)),
+                "ls1": ls1,
+                "ls2": ls2,
+                "wglu": w_glu.astype(dt),
+                "bglu": b_glu if b_glu is not None else jnp.zeros((2 * inner_dim,)),
+                "wout": w_out.astype(dt),
+                "bout": b_out if b_out is not None else jnp.zeros((C,)),
+            }
+            out = sparse_window_block(
+                y.reshape(B * N, hw, C),
+                token_keep.reshape(B * N, hw),
+                win_keep.reshape(B * N),
+                params,
+                num_heads=num_heads,
+                dim_head=self.dim_head,
+                norm_eps=self.norm_eps,
+            )
+            return out.reshape(B, N, hw, C)
+
+        # ---- XLA masked path -------------------------------------------------
         keep = token_keep[..., None]  # (B, N, hw, 1)
         # Selected tokens receive norm2 before attention (SAST.py:214); they
         # are also the attention shortcut. Unselected positions stay at y.
-        z = jnp.where(keep, norm2(y), y)
+        z = jnp.where(keep, _layernorm(y, n2_scale, n2_bias, self.norm_eps), y)
 
-        qkv = nn.Dense(3 * C, use_bias=self.use_bias, dtype=self.dtype, name="qkv")(z)
+        zc = z.astype(dt)
+        qkv = zc @ w_qkv.astype(dt)
+        if b_qkv is not None:
+            qkv = qkv + b_qkv.astype(dt)
         qkv = qkv.reshape(B, N, hw, 3, num_heads, self.dim_head)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
@@ -127,22 +260,23 @@ class MaskedSparseAttention(nn.Module):
         logits = jnp.where(key_mask, logits, jnp.asarray(MASK_VALUE, logits.dtype))
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(B, N, hw, C)
-        out = nn.Dense(C, use_bias=self.use_bias, dtype=self.dtype, name="proj")(out)
+        out = out.astype(dt) @ w_proj.astype(dt)
+        if b_proj is not None:
+            out = out + b_proj.astype(dt)
 
-        ls1 = LayerScale(self.dim, self.ls_init_value, name="ls1")
-        ls2 = LayerScale(self.dim, self.ls_init_value, name="ls2")
         dp1 = DropPath(self.drop_path, name="drop_path1")
         dp2 = DropPath(self.drop_path, name="drop_path2")
 
-        h = z + dp1(ls1(out), deterministic=deterministic)  # shortcut = norm2(y) at kept
-        mlp_out = GatedMLP(
-            dim=C,
-            expansion_ratio=self.mlp_ratio,
-            act=self.mlp_act,
-            use_bias=self.mlp_bias,
-            dtype=self.dtype,
-            name="mlp",
-        )(h)
+        h = z + dp1(ls1.astype(z.dtype) * out, deterministic=deterministic)
+
+        u = h.astype(dt) @ w_glu.astype(dt)
+        if b_glu is not None:
+            u = u + b_glu.astype(dt)
+        val, gate = jnp.split(u, 2, axis=-1)
+        m = val * get_activation(self.mlp_act)(gate)
+        mlp_out = m @ w_out.astype(dt)
+        if b_out is not None:
+            mlp_out = mlp_out + b_out.astype(dt)
 
         if self.enable_cb:
             # Context Broadcasting (SAST.py:239-246): mix each selected token's
@@ -152,7 +286,7 @@ class MaskedSparseAttention(nn.Module):
             mean = jnp.mean(masked, axis=(1, 2), keepdims=True)
             mlp_out = 0.5 * masked + 0.5 * mean
 
-        h2 = h + dp2(ls2(mlp_out), deterministic=deterministic)
+        h2 = h + dp2(ls2.astype(h.dtype) * mlp_out, deterministic=deterministic)
         return jnp.where(keep, h2, y)
 
 
@@ -171,6 +305,7 @@ class SASTBlock(nn.Module):
     attention: AttentionConfig
     first_block: bool = False
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -178,10 +313,10 @@ class SASTBlock(nn.Module):
         x: jnp.ndarray,
         pos_emb: jnp.ndarray,
         r: jnp.ndarray,
-        masks: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        masks: Optional[Tuple[jnp.ndarray, ...]] = None,
         *,
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
         cfg = self.attention
         B, H, W, C = x.shape
         p = tuple(cfg.partition_size)
@@ -198,6 +333,7 @@ class SASTBlock(nn.Module):
             norm_eps=cfg.norm_eps,
             enable_cb=cfg.enable_cb,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
         )
 
         x = x + pos_emb.astype(x.dtype)
@@ -222,25 +358,25 @@ class SASTBlock(nn.Module):
             inv_scale = jnp.where(jnp.isinf(inv_scale), 0.0, inv_scale)
             scores_amp = inv_scale[:, None, None, :] * scores.astype(jnp.float32)
 
-            _, tok_keep_w = select_windows_and_tokens(scores_amp, cfg.bounce)
+            win_keep_w, tok_keep_w = select_windows_and_tokens(scores_amp, cfg.bounce)
             scores_spatial = window_reverse(scores_amp, p, (H, W))
             scores_g = grid_partition(scores_spatial, p)
-            _, tok_keep_g = select_windows_and_tokens(scores_g, cfg.bounce)
-            masks = (tok_keep_w, tok_keep_g)
+            win_keep_g, tok_keep_g = select_windows_and_tokens(scores_g, cfg.bounce)
+            masks = (win_keep_w, tok_keep_w, win_keep_g, tok_keep_g)
         else:
             assert masks is not None, "non-first blocks must reuse selection masks"
-            tok_keep_w, tok_keep_g = masks
+            win_keep_w, tok_keep_w, win_keep_g, tok_keep_g = masks
 
         # First SAST layer: local window attention.
         xw = MaskedSparseAttention(**attn_kwargs, name="win_attn")(
-            xw, tok_keep_w, deterministic=deterministic
+            xw, tok_keep_w, win_keep_w, deterministic=deterministic
         )
         x = window_reverse(xw, p, (H, W))
 
         # Second SAST layer: dilated grid attention.
         xg = grid_partition(x, p)
         xg = MaskedSparseAttention(**attn_kwargs, name="grid_attn")(
-            xg, tok_keep_g, deterministic=deterministic
+            xg, tok_keep_g, win_keep_g, deterministic=deterministic
         )
         x = grid_reverse(xg, p, (H, W))
 

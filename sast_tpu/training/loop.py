@@ -48,6 +48,7 @@ class Trainer:
         log_every: int = 50,
         val_every: Optional[int] = 10_000,
         ckpt_every: Optional[int] = None,
+        use_pallas_eval: bool = False,
     ):
         self.cfg = cfg
         self.workdir = workdir
@@ -62,7 +63,13 @@ class Trainer:
         self.train_step = jax.jit(
             make_train_step(self.model, cfg), donate_argnums=(0, 2)
         )
-        self.eval_step = jax.jit(make_eval_step(self.model, cfg), donate_argnums=(2,))
+        # Evaluation may use the Pallas window-skipping kernel (same params).
+        eval_model = self.model
+        if use_pallas_eval:
+            from sast_tpu.models.detector import YoloXDetector
+
+            eval_model = YoloXDetector(cfg.model, use_pallas=True)
+        self.eval_step = jax.jit(make_eval_step(eval_model, cfg), donate_argnums=(2,))
         self._ckpt = None
         self.p_smooth = SmoothedValue()
 

@@ -23,6 +23,8 @@ def main() -> None:
     ap.add_argument("--split", choices=("val", "test"), default="val")
     ap.add_argument("--set", dest="overrides", action="append", metavar="KEY=VALUE")
     ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--sparse-kernel", action="store_true",
+                    help="use the Pallas window-skipping kernel (TPU only)")
     args = ap.parse_args()
 
     from sast_tpu.utils.cache import enable_compilation_cache
@@ -38,7 +40,8 @@ def main() -> None:
     overrides.setdefault("dataset.path", args.data)
     cfg = get_config(args.dataset, args.size, **overrides)
 
-    trainer = Trainer(cfg, workdir="/tmp/sast_val", val_every=None)
+    trainer = Trainer(cfg, workdir="/tmp/sast_val", val_every=None,
+                      use_pallas_eval=args.sparse_kernel)
     if args.ckpt.endswith(".ckpt") or args.ckpt.endswith(".pth"):
         from sast_tpu.checkpoint.torch_convert import load_torch_checkpoint
 
