@@ -146,12 +146,15 @@ class GatedMlpParams(nn.Module):
 
 
 def _layernorm(x: jnp.ndarray, scale, bias, eps: float) -> jnp.ndarray:
-    dt = x.dtype
-    x = x.astype(jnp.float32)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-    y = (x - mu) * jax.lax.rsqrt(var + eps)
-    return (y * scale + bias).astype(dt)
+    """LayerNorm matching flax.linen.LayerNorm(dtype=x.dtype): statistics in
+    fp32 (use_fast_variance path), elementwise math in the compute dtype."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
+    inv = (jax.lax.rsqrt(var + eps) * scale).astype(x.dtype)
+    return (x - mu.astype(x.dtype)) * inv + bias.astype(x.dtype)
 
 
 class MaskedSparseAttention(nn.Module):

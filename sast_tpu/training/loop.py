@@ -100,7 +100,13 @@ class Trainer:
         evaluator = PropheseeEvaluator(
             cfg.dataset.name, cfg.dataset.downsample_by_factor_2
         )
-        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        # Prefer EMA weights for evaluation when maintained.
+        eval_params = (
+            self.state.ema_params
+            if getattr(self.state, "ema_params", None) is not None
+            else self.state.params
+        )
+        variables = {"params": eval_params, "batch_stats": self.state.batch_stats}
         lstm = None
         n = 0
         for batch in eval_batches:

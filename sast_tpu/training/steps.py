@@ -47,6 +47,7 @@ from sast_tpu.utils.padding import InputPadder
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    ema_params: Any = None
 
 
 def create_train_state(
@@ -60,11 +61,17 @@ def create_train_state(
     dummy_states = zero_states(bb, 1)
     variables = jax.jit(model.init)(rng, dummy_x, dummy_states)
     tx = build_optimizer(cfg.training, learning_rate)
+    ema = (
+        jax.tree.map(lambda x: x, variables["params"])
+        if cfg.training.ema_decay > 0
+        else None
+    )
     state = TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
         tx=tx,
         batch_stats=variables.get("batch_stats", {}),
+        ema_params=ema,
     )
     return state, model
 
@@ -171,6 +178,14 @@ def make_train_step(
         new_state = state.apply_gradients(
             grads=grads, batch_stats=aux["batch_stats"]
         )
+        if state.ema_params is not None:
+            d = cfg.training.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d),
+                state.ema_params,
+                new_state.params,
+            )
+            new_state = new_state.replace(ema_params=new_ema)
         new_lstm_states = jax.lax.stop_gradient(aux["new_states"])
         metrics = dict(aux["losses"])
         metrics["P"] = aux["P"]
