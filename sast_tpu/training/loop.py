@@ -95,11 +95,20 @@ class Trainer:
         print(f"resumed from step {int(self.state.step)}", file=sys.stderr)
 
     # -- validation ---------------------------------------------------------
-    def validate(self, eval_batches: Iterable[dict], max_batches: Optional[int] = None) -> Dict[str, float]:
+    def validate(
+        self,
+        eval_batches: Iterable[dict],
+        max_batches: Optional[int] = None,
+        save_viz: int = 0,
+    ) -> Dict[str, float]:
+        """Streaming evaluation; optionally saves up to ``save_viz`` rendered
+        prediction-vs-label panels (the reference W&B viz callback,
+        callbacks/detection.py:32-100) under workdir/viz/."""
         cfg = self.cfg
         evaluator = PropheseeEvaluator(
             cfg.dataset.name, cfg.dataset.downsample_by_factor_2
         )
+        n_viz_saved = 0
         # Prefer EMA weights for evaluation when maintained.
         eval_params = (
             self.state.ema_params
@@ -134,6 +143,32 @@ class Trainer:
                 preds = detections_to_prophesee(sub, times)
                 evaluator.add_labels(gts)
                 evaluator.add_predictions(preds)
+
+                if n_viz_saved < save_viz:
+                    from sast_tpu.utils.viz import render_detection_frame, save_png
+
+                    f = sel[0]
+                    B = batch["ev_repr"].shape[1]
+                    lane, slot = f // batch["frame_tidx"].shape[1], f % batch["frame_tidx"].shape[1]
+                    tidx = int(batch["frame_tidx"][lane, slot])
+                    ev = np.asarray(batch["ev_repr"][tidx, lane])
+                    gt = gts[0]
+                    pd = preds[0]
+                    panel = render_detection_frame(
+                        ev,
+                        gt_boxes=np.stack([gt["x"], gt["y"], gt["w"], gt["h"]], -1),
+                        gt_classes=gt["class_id"],
+                        pred_boxes=np.stack([pd["x"], pd["y"], pd["w"], pd["h"]], -1)
+                        if len(pd)
+                        else None,
+                        pred_classes=pd["class_id"] if len(pd) else None,
+                    )
+                    viz_dir = os.path.join(self.workdir, "viz")
+                    os.makedirs(viz_dir, exist_ok=True)
+                    save_png(
+                        os.path.join(viz_dir, f"val_{n:04d}.png"), panel
+                    )
+                    n_viz_saved += 1
             n += 1
             if max_batches is not None and n >= max_batches:
                 break

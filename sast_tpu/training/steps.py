@@ -32,6 +32,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import struct
 from flax.training import train_state
 
@@ -175,6 +176,12 @@ def make_train_step(
             return losses["loss"], aux
 
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        # Gradient-flow telemetry (reference callbacks/gradflow.py): global
+        # grad norm plus per-component norms.
+        grad_norms = {
+            f"grad_norm/{k}": optax.global_norm(v) for k, v in grads.items()
+        }
+        grad_norms["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(
             grads=grads, batch_stats=aux["batch_stats"]
         )
@@ -189,6 +196,7 @@ def make_train_step(
         new_lstm_states = jax.lax.stop_gradient(aux["new_states"])
         metrics = dict(aux["losses"])
         metrics["P"] = aux["P"]
+        metrics.update(grad_norms)
         return new_state, new_lstm_states, metrics
 
     return train_step
