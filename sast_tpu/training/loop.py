@@ -241,6 +241,9 @@ class Trainer:
                     self.state,
                     metrics={"val_AP": val_metrics.get("val/AP", -1.0)},
                 )
+                self.logger.log_checkpoint(
+                    os.path.join(self.workdir, "ckpts"), step
+                )
             elif self.ckpt_every is not None and step % self.ckpt_every == 0:
                 self.ckpt.save(step, self.state, metrics={})
 

@@ -51,6 +51,42 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_checkpoint(
+        self,
+        ckpt_dir: str,
+        step: int,
+        aliases: Optional[list] = None,
+        keep_top_k: int = 1,
+    ) -> None:
+        """Upload a checkpoint directory as a W&B artifact with alias/pruning
+        (reference wandb_logger.py:238-376 _scan_and_log_checkpoints /
+        _rm_but_top_k). No-op without an active W&B run."""
+        if self._wandb is None:
+            return
+        try:
+            import wandb
+
+            name = f"checkpoint-{self._wandb.id}"
+            artifact = wandb.Artifact(name=name, type="model")
+            artifact.add_dir(ckpt_dir)
+            self._wandb.log_artifact(
+                artifact, aliases=(aliases or []) + [f"step-{step}", "last"]
+            )
+            # prune older non-aliased versions beyond keep_top_k
+            api = wandb.Api()
+            versions = api.artifact_versions(
+                "model", f"{self._wandb.entity}/{self._wandb.project}/{name}"
+            )
+            kept = 0
+            for v in versions:
+                if any(a in ("best", "last") for a in v.aliases):
+                    continue
+                kept += 1
+                if kept > keep_top_k:
+                    v.delete()
+        except Exception as e:
+            print(f"wandb artifact upload failed: {e}", file=sys.stderr)
+
     def close(self) -> None:
         self._jsonl.close()
         if self._wandb is not None:
