@@ -7,20 +7,20 @@ scene sparsity. This kernel restores the reference's compute sparsity
 
 - a compacted work list of kept-window ids is built in XLA (argsort of the
   keep mask — static shape) and scalar-prefetched;
-- the grid covers all M = B*N windows, but programs beyond ``n_win`` exit
-  before doing any DMA or compute, so FLOPs and HBM traffic scale with the
-  number of *kept* windows (skipped programs cost only scheduling);
-- each active program DMAs its window (hw, C) from HBM, runs the fused
-  block — LN2 on kept tokens, qkv projection, per-head masked attention
-  (key mask = -1e4, reference semantics), proj + LayerScale residual,
-  gated-GELU MLP + LayerScale residual — and DMAs the result back over the
-  aliased output, leaving skipped windows at their pass-through (norm1)
-  values.
+- the grid covers ceil(M / WB) programs of WB windows each; slots beyond
+  ``n_win`` do no DMA and no writeback, so FLOPs and HBM traffic scale with
+  the number of *kept* windows;
+- each program overlaps 2*WB inbound DMAs, then runs the fused block —
+  LN2 on kept tokens, batched qkv projection over all WB windows, per-window
+  masked attention (key mask = -1e4, reference semantics), batched
+  proj + LayerScale residual and gated-GELU MLP + LayerScale residual —
+  and DMAs results back over the aliased output, leaving skipped windows at
+  their pass-through (norm1) values.
 
-Mosaic requires HBM window slices to be lane-aligned, so channels are padded
-to a multiple of 128 at the call site (zero padding; LayerNorm statistics are
-computed over the real channel count inside the kernel). Stage dims >= 128
-pay nothing.
+Mosaic constraints handled: HBM window slices need lane-aligned channels
+(padded to 128 with real-C LayerNorm statistics), no cross-lane reshapes
+(only leading-dim collapses are used), f32 keep masks (int8 compares don't
+lower), concatenation instead of scatter for head outputs.
 
 Inference-path kernel (no custom VJP yet); training uses the XLA path.
 """
@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e4
 LANE = 128
+WINDOW_BLOCK = 8  # windows per program
 
 
 def _round_up(x: int, m: int) -> int:
@@ -68,30 +69,46 @@ def _block_kernel(
     x_vmem,
     keep_vmem,
     o_vmem,
-    sem_x,
-    sem_k,
-    sem_o,
+    sems_x,
+    sems_k,
+    sems_o,
     *,
+    hw: int,
     c_real: int,
     num_heads: int,
     dim_head: int,
     norm_eps: float,
+    wb: int,
 ):
     i = pl.program_id(0)
+    n_win = nwin_ref[0]
+    base = i * wb
 
-    @pl.when(i < nwin_ref[0])
+    # ---- overlapped inbound DMAs for all active slots -----------------------
+    for j in range(wb):
+        @pl.when(base + j < n_win)
+        def _(j=j):
+            wid = ids_ref[base + j]
+            pltpu.make_async_copy(y_hbm.at[wid], x_vmem.at[j], sems_x.at[j]).start()
+            pltpu.make_async_copy(
+                keep_hbm.at[wid], keep_vmem.at[j], sems_k.at[j]
+            ).start()
+
+    for j in range(wb):
+        @pl.when(base + j < n_win)
+        def _(j=j):
+            wid = ids_ref[base + j]
+            pltpu.make_async_copy(y_hbm.at[wid], x_vmem.at[j], sems_x.at[j]).wait()
+            pltpu.make_async_copy(
+                keep_hbm.at[wid], keep_vmem.at[j], sems_k.at[j]
+            ).wait()
+
+    @pl.when(base < n_win)
     def _():
-        wid = ids_ref[i]
-        cp_x = pltpu.make_async_copy(y_hbm.at[wid], x_vmem, sem_x)
-        cp_k = pltpu.make_async_copy(keep_hbm.at[wid], keep_vmem, sem_k)
-        cp_x.start()
-        cp_k.start()
-        cp_x.wait()
-        cp_k.wait()
-
-        y_pad = x_vmem[:].astype(jnp.float32)  # (hw, c_pad), zero beyond c_real
-        keep = keep_vmem[:, :1] > 0.5  # (hw, 1)
-        c_pad = y_pad.shape[-1]
+        c_pad = x_vmem.shape[-1]
+        # (wb*hw, c_pad): leading-dim collapse only (lane layout unchanged).
+        y_pad = x_vmem[:].reshape(wb * hw, c_pad).astype(jnp.float32)
+        keep = keep_vmem[:].reshape(wb * hw, LANE)[:, :1] > 0.5  # (wb*hw, 1)
         y = y_pad[:, :c_real] if c_pad != c_real else y_pad
 
         # LN2 over the real channels (fp32).
@@ -99,7 +116,7 @@ def _block_kernel(
         var = jnp.sum((y - mu) ** 2, axis=-1, keepdims=True) / c_real
         z_ln = (y - mu) * jax.lax.rsqrt(var + norm_eps)
         z_ln = z_ln * ln2s_ref[:] + ln2b_ref[:]
-        z = jnp.where(keep, z_ln, y)  # (hw, c_real)
+        z = jnp.where(keep, z_ln, y)  # (wb*hw, c_real)
 
         zc = z.astype(wqkv_ref.dtype)
         if c_pad != c_real:
@@ -109,31 +126,38 @@ def _block_kernel(
         qkv = (
             jnp.dot(zc, wqkv_ref[:], preferred_element_type=jnp.float32)
             + bqkv_ref[:]
-        )  # (hw, 3*c_real) fp32
+        )  # (wb*hw, 3*c_real)
 
         scale = dim_head ** -0.5
-        key_mask = keep.reshape(1, -1)  # (1, hw)
-        head_outs = []
-        for h in range(num_heads):
-            lo = h * dim_head
-            q = qkv[:, lo : lo + dim_head]
-            k = qkv[:, c_real + lo : c_real + lo + dim_head]
-            v = qkv[:, 2 * c_real + lo : 2 * c_real + lo + dim_head]
-            logits = (
-                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            )
-            logits = jnp.where(key_mask, logits, MASK_VALUE)
-            attn = jax.nn.softmax(logits, axis=-1)
-            head_outs.append(
-                jnp.dot(
-                    attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        win_outs = []
+        for j in range(wb):
+            lo_t = j * hw
+            k_mask = keep[lo_t : lo_t + hw].reshape(1, hw)
+            head_outs = []
+            for h in range(num_heads):
+                lo = h * dim_head
+                q = qkv[lo_t : lo_t + hw, lo : lo + dim_head]
+                k = qkv[lo_t : lo_t + hw, c_real + lo : c_real + lo + dim_head]
+                v = qkv[lo_t : lo_t + hw, 2 * c_real + lo : 2 * c_real + lo + dim_head]
+                logits = (
+                    jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
                 )
+                logits = jnp.where(k_mask, logits, MASK_VALUE)
+                attn = jax.nn.softmax(logits, axis=-1)
+                head_outs.append(
+                    jnp.dot(
+                        attn.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            win_outs.append(
+                head_outs[0]
+                if num_heads == 1
+                else jnp.concatenate(head_outs, axis=-1)
             )
         attn_out = (
-            head_outs[0]
-            if num_heads == 1
-            else jnp.concatenate(head_outs, axis=-1)
-        )
+            win_outs[0] if wb == 1 else jnp.concatenate(win_outs, axis=0)
+        )  # (wb*hw, c_real)
 
         proj = (
             jnp.dot(
@@ -152,7 +176,7 @@ def _block_kernel(
                 preferred_element_type=jnp.float32,
             )
             + bglu_ref[:]
-        )  # (hw, 2I)
+        )  # (wb*hw, 2I)
         inner = u.shape[-1] // 2
         val, gate = u[:, :inner], u[:, inner:]
         m = val * jax.nn.gelu(gate)
@@ -172,10 +196,20 @@ def _block_kernel(
                 [out, jnp.zeros((out.shape[0], c_pad - c_real), out.dtype)],
                 axis=-1,
             )
-        o_vmem[:] = out
-        cp_o = pltpu.make_async_copy(o_vmem, out_hbm.at[wid], sem_o)
-        cp_o.start()
-        cp_o.wait()
+        o_vmem[:] = out.reshape(wb, hw, c_pad)
+
+    # ---- overlapped writeback for active slots ------------------------------
+    for j in range(wb):
+        @pl.when(base + j < n_win)
+        def _(j=j):
+            wid = ids_ref[base + j]
+            pltpu.make_async_copy(o_vmem.at[j], out_hbm.at[wid], sems_o.at[j]).start()
+
+    for j in range(wb):
+        @pl.when(base + j < n_win)
+        def _(j=j):
+            wid = ids_ref[base + j]
+            pltpu.make_async_copy(o_vmem.at[j], out_hbm.at[wid], sems_o.at[j]).wait()
 
 
 def sparse_window_block(
@@ -186,6 +220,7 @@ def sparse_window_block(
     num_heads: int,
     dim_head: int,
     norm_eps: float = 1e-5,
+    window_block: int = WINDOW_BLOCK,
 ) -> jnp.ndarray:
     """Apply the fused sparse block to kept windows only.
 
@@ -200,10 +235,15 @@ def sparse_window_block(
     Returns (M, hw, C) array of y's dtype.
     """
     M, hw, C = y.shape
+    wb = max(1, min(window_block, M))
     c_pad = _round_up(C, LANE)
     n_win = jnp.sum(win_keep.astype(jnp.int32))
-    # Compacted work list: kept window ids first (stable order).
+    # Compacted work list: kept window ids first (stable order), padded to a
+    # multiple of wb (pad entries point at window 0 but are never active).
     ids = jnp.argsort(~win_keep, stable=True).astype(jnp.int32)
+    n_ids = _round_up(M, wb)
+    if n_ids != M:
+        ids = jnp.concatenate([ids, jnp.zeros((n_ids - M,), jnp.int32)])
 
     y_in = y
     if c_pad != C:
@@ -237,15 +277,17 @@ def sparse_window_block(
 
     kernel = functools.partial(
         _block_kernel,
+        hw=hw,
         c_real=C,
         num_heads=num_heads,
         dim_head=dim_head,
         norm_eps=norm_eps,
+        wb=wb,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # ids, n_win
-        grid=(M,),
+        grid=(n_ids // wb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # y (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),  # keep (HBM)
@@ -253,12 +295,12 @@ def sparse_window_block(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((hw, c_pad), y.dtype),
-            pltpu.VMEM((hw, LANE), jnp.float32),
-            pltpu.VMEM((hw, c_pad), y.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((wb, hw, c_pad), y.dtype),
+            pltpu.VMEM((wb, hw, LANE), jnp.float32),
+            pltpu.VMEM((wb, hw, c_pad), y.dtype),
+            pltpu.SemaphoreType.DMA((wb,)),
+            pltpu.SemaphoreType.DMA((wb,)),
+            pltpu.SemaphoreType.DMA((wb,)),
         ],
     )
 

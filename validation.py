@@ -38,6 +38,9 @@ def main() -> None:
 
     overrides = parse_overrides(args.overrides)
     overrides.setdefault("dataset.path", args.data)
+    # Reference validation CLI uses a lower confidence threshold than
+    # train-time postprocessing (config/val.yaml: 0.001 vs 0.01).
+    overrides.setdefault("model.postprocess.confidence_threshold", 0.001)
     cfg = get_config(args.dataset, args.size, **overrides)
 
     trainer = Trainer(cfg, workdir="/tmp/sast_val", val_every=None,
