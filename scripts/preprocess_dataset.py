@@ -346,9 +346,10 @@ def write_event_representations(
 
 
 def repr_name(args) -> str:
-    if args.repr == "stacked_histogram":
-        return f"stacked_histogram_dt={args.dt_ms}_nbins={args.nbins}"
-    return f"mixeddensity_stack_dt={args.dt_ms}_nbins={args.nbins}"
+    num_events = getattr(args, "num_events", None)
+    agg = f"ne={num_events}" if num_events else f"dt={args.dt_ms}"
+    base = "stacked_histogram" if args.repr == "stacked_histogram" else "mixeddensity_stack"
+    return f"{base}_{agg}_nbins={args.nbins}"
 
 
 def build_representation(args, dataset: str, hw: Tuple[int, int]):
@@ -394,9 +395,11 @@ def process_sequence(task) -> str:
 
     hw = DATASET_HW[dataset]
     representation = build_representation(args, dataset, hw)
+    num_events = getattr(args, "num_events", None)
     write_event_representations(
         in_h5, out_ev, dataset, representation, ev_ts,
-        delta_ts_ms=args.dt_ms, num_events=None,
+        delta_ts_ms=None if num_events else args.dt_ms,
+        num_events=num_events,
         downsample_by_2=args.downsample_by_2,
     )
     return f"{out_seq_dir.name}: ok ({len(ev_ts)} reprs, {len(frame_ts)} frames)"
@@ -424,7 +427,11 @@ def main() -> None:
                     default="stacked_histogram")
     ap.add_argument("--nbins", type=int, default=10)
     ap.add_argument("--count-cutoff", type=int, default=10)
-    ap.add_argument("--dt-ms", type=int, default=50)
+    ap.add_argument("--dt-ms", type=int, default=50,
+                    help="event-window duration (DURATION aggregation)")
+    ap.add_argument("--num-events", type=int, default=None,
+                    help="fixed event count per window (COUNT aggregation, "
+                         "overrides the duration window)")
     ap.add_argument("--downsample-by-2", action="store_true",
                     help="additionally write the _ds2_nearest variant (gen4)")
     ap.add_argument("--no-psee-filter", action="store_true")
