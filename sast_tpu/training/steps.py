@@ -62,8 +62,10 @@ def create_train_state(
     dummy_states = zero_states(bb, 1)
     variables = jax.jit(model.init)(rng, dummy_x, dummy_states)
     tx = build_optimizer(cfg.training, learning_rate)
+    # EMA must be a distinct buffer copy: sharing params' buffers makes
+    # donation fail ("attempt to donate the same buffer twice").
     ema = (
-        jax.tree.map(lambda x: x, variables["params"])
+        jax.tree.map(jnp.copy, variables["params"])
         if cfg.training.ema_decay > 0
         else None
     )
