@@ -137,8 +137,14 @@ class SpatialAugmentor:
         state: AugmentState,
         ev: np.ndarray,
         labels: List[Optional[FrameLabels]],
+        rng: Optional[np.random.RandomState] = None,
     ) -> Tuple[np.ndarray, List[Optional[FrameLabels]]]:
-        """ev: (T, H, W, C). Labels are copied, never mutated in place."""
+        """ev: (T, H, W, C). Labels are copied, never mutated in place.
+
+        ``rng`` (zoom-in window sampling) defaults to the augmentor's own
+        RandomState; pass a private one when calling from worker threads.
+        """
+        rng = rng or self.rng
         T, H, W, C = ev.shape
         labels = [fl.copy() if fl is not None else None for fl in labels]
 
@@ -176,7 +182,7 @@ class SpatialAugmentor:
                     anchor = fl
                     break
             if anchor is not None:
-                x0, y0 = sample_zoom_window_from_labels(self.rng, anchor, (zh, zw))
+                x0, y0 = sample_zoom_window_from_labels(rng, anchor, (zh, zw))
                 crop = np.ascontiguousarray(ev[:, y0 : y0 + zh, x0 : x0 + zw])
                 ev = resize_nearest(crop, (H, W))
                 new_labels: List[Optional[FrameLabels]] = []

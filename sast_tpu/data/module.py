@@ -77,12 +77,14 @@ class RandomAccessSampler:
         else:
             self.probs = None
 
-    def _sample(self) -> dict:
-        k = (
-            self.rng.choice(len(self.index), p=self.probs)
-            if self.probs is not None
-            else self.rng.randint(len(self.index))
-        )
+    def _draw(self) -> int:
+        """Index draw (main thread only: RandomState is not thread-safe)."""
+        if self.probs is not None:
+            return int(self.rng.choice(len(self.index), p=self.probs))
+        return int(self.rng.randint(len(self.index)))
+
+    def _fetch(self, k: int, aug_state, rng_seed: int = 0) -> dict:
+        rng = np.random.RandomState(rng_seed)
         ri, oi = self.index[k]
         ev, labels = self.readers[ri].random_access_sample(oi, self.seq_len)
         n_pad = self.seq_len - ev.shape[0]
@@ -95,7 +97,7 @@ class RandomAccessSampler:
             labels = [None] * n_pad + labels
             mask[:n_pad] = False
         if self.augmentor is not None:
-            ev, labels = self.augmentor(ev, labels)
+            ev, labels = self.augmentor.apply(aug_state, ev, labels, rng=rng)
         return {
             "ev_repr": ev,
             "labels": labels,
@@ -103,9 +105,30 @@ class RandomAccessSampler:
             "is_padded_mask": mask,
         }
 
+    def _sample(self) -> dict:
+        state = None
+        if self.augmentor is not None:
+            hw = self.readers[0].ev_repr_shape[1:]
+            state = self.augmentor.sample_state(hw)
+        return self._fetch(self._draw(), state, self.rng.randint(2**31))
+
     def __iter__(self) -> Iterator[List[dict]]:
-        while True:
-            yield [self._sample() for _ in range(self.batch_size)]
+        from concurrent.futures import ThreadPoolExecutor
+
+        hw = self.readers[0].ev_repr_shape[1:]
+        with ThreadPoolExecutor(max_workers=self.batch_size) as pool:
+            while True:
+                # All randomness drawn on the main thread; threads only read.
+                jobs = []
+                for _ in range(self.batch_size):
+                    state = (
+                        self.augmentor.sample_state(hw)
+                        if self.augmentor is not None
+                        else None
+                    )
+                    jobs.append((self._draw(), state, self.rng.randint(2**31)))
+                futures = [pool.submit(self._fetch, k, s, r) for k, s, r in jobs]
+                yield [f.result() for f in futures]
 
 
 class MixedSampler:

@@ -79,6 +79,11 @@ class SequenceReader:
             self.num_ev_repr = f["data"].shape[0]
             self.ev_repr_shape = f["data"].shape[1:]  # (C, H, W) on disk
         self._h5: Optional[h5py.File] = None
+        # h5py handles are not thread-safe; batch lanes fetching in parallel
+        # (data/streaming.py) serialize per sequence through this lock.
+        import threading
+
+        self._lock = threading.Lock()
 
     # -- raw access ---------------------------------------------------------
     def _file(self) -> h5py.File:
@@ -94,7 +99,8 @@ class SequenceReader:
     def get_ev_repr(self, start: int, end: int) -> np.ndarray:
         """[start, end) representations as (T, H, W, C) uint8 (NHWC)."""
         assert 0 <= start < end <= self.num_ev_repr
-        data = self._file()["data"][start:end]  # (T, C, H, W)
+        with self._lock:
+            data = self._file()["data"][start:end]  # (T, C, H, W)
         return np.ascontiguousarray(np.transpose(data, (0, 2, 3, 1)))
 
     def labels_at_repr_idx(self, repr_idx: int) -> Optional[FrameLabels]:

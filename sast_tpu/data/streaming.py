@@ -18,6 +18,7 @@ lane):
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -73,19 +74,26 @@ class ConcatStreamsSampler:
 
     def _lane_iter(self, lane: int) -> Iterator[dict]:
         rng = np.random.RandomState(self.seed * 7919 + lane)
+        # Lanes run on parallel threads: each needs its own augmentor (the
+        # RandomState inside is not thread-safe).
+        augmentor = None
+        if self.augmentor is not None:
+            augmentor = SpatialAugmentor(
+                self.augmentor.cfg,
+                self.augmentor.stream_mode,
+                rng=np.random.RandomState(self.seed * 104729 + lane + 1),
+            )
         while True:
             order = rng.permutation(len(self.streams))
             for si in order:
                 # Stream-mode augmentation: one state for the whole stream.
                 state = None
-                if self.augmentor is not None:
-                    hw = None
                 for clip in self.streams[si]:
-                    if self.augmentor is not None:
+                    if augmentor is not None:
                         if state is None:
                             hw = clip["ev_repr"].shape[1:3]
-                            state = self.augmentor.sample_state(hw)
-                        ev, labels = self.augmentor.apply(
+                            state = augmentor.sample_state(hw)
+                        ev, labels = augmentor.apply(
                             state, clip["ev_repr"], clip["labels"]
                         )
                         clip = dict(clip, ev_repr=ev, labels=labels)
@@ -93,8 +101,11 @@ class ConcatStreamsSampler:
 
     def __iter__(self) -> Iterator[List[dict]]:
         lanes = [self._lane_iter(b) for b in range(self.batch_size)]
-        while True:
-            yield [next(lane) for lane in lanes]
+        # Lanes fetch in parallel threads: h5 chunk decompression releases
+        # the GIL and different sequences use independent (locked) handles.
+        with ThreadPoolExecutor(max_workers=self.batch_size) as pool:
+            while True:
+                yield list(pool.map(next, lanes))
 
 
 class ShardedEvalSampler:
