@@ -1,26 +1,24 @@
-"""Pallas TPU kernel: sparse window transformer block with window skipping.
+"""Pallas TPU kernel: sparse window transformer block with compute skipping.
 
 The XLA masked path (models/sast.py) computes attention for EVERY window and
 discards unselected outputs — correct, but it pays full FLOPs regardless of
 scene sparsity. This kernel restores the reference's compute sparsity
-(SAST.py:199-255 gathers only kept windows) in a TPU-native way:
+(SAST.py:199-255 gathers only kept windows) in a TPU-native way.
 
-- a compacted work list of kept-window ids is built in XLA (argsort of the
-  keep mask — static shape) and scalar-prefetched;
-- the grid covers ceil(M / WB) programs of WB windows each; slots beyond
-  ``n_win`` do no DMA and no writeback, so FLOPs and HBM traffic scale with
-  the number of *kept* windows;
-- each program overlaps 2*WB inbound DMAs, then runs the fused block —
-  LN2 on kept tokens, batched qkv projection over all WB windows, per-window
-  masked attention (key mask = -1e4, reference semantics), batched
-  proj + LayerScale residual and gated-GELU MLP + LayerScale residual —
-  and DMAs results back over the aliased output, leaving skipped windows at
-  their pass-through (norm1) values.
+Key idea: ``argsort(~win_keep)`` is a *permutation* of all window ids with
+kept windows first. The grid visits every window exactly once through
+scalar-prefetched BlockSpec index maps — so the standard Pallas pipeline
+machinery double-buffers the window DMAs automatically — and only programs
+with ``i < n_win`` run the fused block (LN2 on kept tokens, qkv, per-head
+masked attention with the reference's -1e4 key mask, proj + LayerScale
+residual, gated-GELU MLP + LayerScale residual); the rest copy their window
+through unchanged (the norm1 pass-through). FLOPs scale with the number of
+kept windows; HBM traffic is one read + one write of the window tensor
+(same as any elementwise pass), fully overlapped with compute.
 
-Mosaic constraints handled: HBM window slices need lane-aligned channels
-(padded to 128 with real-C LayerNorm statistics), no cross-lane reshapes
-(only leading-dim collapses are used), f32 keep masks (int8 compares don't
-lower), concatenation instead of scatter for head outputs.
+Mosaic constraints handled: channels padded to the 128 lane width with
+real-C LayerNorm statistics; f32 keep masks (int8 compares don't lower);
+concatenation instead of scatter for head outputs.
 
 Inference-path kernel (no custom VJP yet); training uses the XLA path.
 """
@@ -37,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e4
 LANE = 128
-WINDOW_BLOCK = 8  # windows per program
 
 
 def _round_up(x: int, m: int) -> int:
@@ -48,9 +45,9 @@ def _block_kernel(
     # scalar prefetch
     ids_ref,
     nwin_ref,
-    # operands
-    y_hbm,
-    keep_hbm,
+    # operands (pipelined blocks)
+    y_ref,       # (1, hw, c_pad) VMEM
+    keep_ref,    # (1, hw, LANE) VMEM
     ln2s_ref,
     ln2b_ref,
     wqkv_ref,
@@ -63,52 +60,27 @@ def _block_kernel(
     wout_ref,
     bout_ref,
     ls2_ref,
-    # output
-    out_hbm,
-    # scratch
-    x_vmem,
-    keep_vmem,
-    o_vmem,
-    sems_x,
-    sems_k,
-    sems_o,
+    # output block
+    out_ref,     # (1, hw, c_pad) VMEM
     *,
-    hw: int,
     c_real: int,
     num_heads: int,
     dim_head: int,
     norm_eps: float,
-    wb: int,
 ):
     i = pl.program_id(0)
-    n_win = nwin_ref[0]
-    base = i * wb
 
-    # ---- overlapped inbound DMAs for all active slots -----------------------
-    for j in range(wb):
-        @pl.when(base + j < n_win)
-        def _(j=j):
-            wid = ids_ref[base + j]
-            pltpu.make_async_copy(y_hbm.at[wid], x_vmem.at[j], sems_x.at[j]).start()
-            pltpu.make_async_copy(
-                keep_hbm.at[wid], keep_vmem.at[j], sems_k.at[j]
-            ).start()
-
-    for j in range(wb):
-        @pl.when(base + j < n_win)
-        def _(j=j):
-            wid = ids_ref[base + j]
-            pltpu.make_async_copy(y_hbm.at[wid], x_vmem.at[j], sems_x.at[j]).wait()
-            pltpu.make_async_copy(
-                keep_hbm.at[wid], keep_vmem.at[j], sems_k.at[j]
-            ).wait()
-
-    @pl.when(base < n_win)
+    @pl.when(i >= nwin_ref[0])
     def _():
-        c_pad = x_vmem.shape[-1]
-        # (wb*hw, c_pad): leading-dim collapse only (lane layout unchanged).
-        y_pad = x_vmem[:].reshape(wb * hw, c_pad).astype(jnp.float32)
-        keep = keep_vmem[:].reshape(wb * hw, LANE)[:, :1] > 0.5  # (wb*hw, 1)
+        # Unselected window: norm1 pass-through (y is already norm1-ed).
+        out_ref[...] = y_ref[...]
+
+    @pl.when(i < nwin_ref[0])
+    def _():
+        c_pad = y_ref.shape[-1]
+        hw = y_ref.shape[1]
+        y_pad = y_ref[0].astype(jnp.float32)  # (hw, c_pad)
+        keep = keep_ref[0][:, :1] > 0.5  # (hw, 1)
         y = y_pad[:, :c_real] if c_pad != c_real else y_pad
 
         # LN2 over the real channels (fp32).
@@ -116,48 +88,35 @@ def _block_kernel(
         var = jnp.sum((y - mu) ** 2, axis=-1, keepdims=True) / c_real
         z_ln = (y - mu) * jax.lax.rsqrt(var + norm_eps)
         z_ln = z_ln * ln2s_ref[:] + ln2b_ref[:]
-        z = jnp.where(keep, z_ln, y)  # (wb*hw, c_real)
+        z = jnp.where(keep, z_ln, y)
 
         zc = z.astype(wqkv_ref.dtype)
         if c_pad != c_real:
             zc = jnp.concatenate(
-                [zc, jnp.zeros((zc.shape[0], c_pad - c_real), zc.dtype)], axis=-1
+                [zc, jnp.zeros((hw, c_pad - c_real), zc.dtype)], axis=-1
             )
         qkv = (
             jnp.dot(zc, wqkv_ref[:], preferred_element_type=jnp.float32)
             + bqkv_ref[:]
-        )  # (wb*hw, 3*c_real)
+        )  # (hw, 3*c_real)
 
         scale = dim_head ** -0.5
-        win_outs = []
-        for j in range(wb):
-            lo_t = j * hw
-            k_mask = keep[lo_t : lo_t + hw].reshape(1, hw)
-            head_outs = []
-            for h in range(num_heads):
-                lo = h * dim_head
-                q = qkv[lo_t : lo_t + hw, lo : lo + dim_head]
-                k = qkv[lo_t : lo_t + hw, c_real + lo : c_real + lo + dim_head]
-                v = qkv[lo_t : lo_t + hw, 2 * c_real + lo : 2 * c_real + lo + dim_head]
-                logits = (
-                    jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-                )
-                logits = jnp.where(k_mask, logits, MASK_VALUE)
-                attn = jax.nn.softmax(logits, axis=-1)
-                head_outs.append(
-                    jnp.dot(
-                        attn.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-            win_outs.append(
-                head_outs[0]
-                if num_heads == 1
-                else jnp.concatenate(head_outs, axis=-1)
+        key_mask = keep.reshape(1, hw)
+        head_outs = []
+        for h in range(num_heads):
+            lo = h * dim_head
+            q = qkv[:, lo : lo + dim_head]
+            k = qkv[:, c_real + lo : c_real + lo + dim_head]
+            v = qkv[:, 2 * c_real + lo : 2 * c_real + lo + dim_head]
+            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(key_mask, logits, MASK_VALUE)
+            attn = jax.nn.softmax(logits, axis=-1)
+            head_outs.append(
+                jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
             )
         attn_out = (
-            win_outs[0] if wb == 1 else jnp.concatenate(win_outs, axis=0)
-        )  # (wb*hw, c_real)
+            head_outs[0] if num_heads == 1 else jnp.concatenate(head_outs, axis=-1)
+        )
 
         proj = (
             jnp.dot(
@@ -176,7 +135,7 @@ def _block_kernel(
                 preferred_element_type=jnp.float32,
             )
             + bglu_ref[:]
-        )  # (wb*hw, 2I)
+        )
         inner = u.shape[-1] // 2
         val, gate = u[:, :inner], u[:, inner:]
         m = val * jax.nn.gelu(gate)
@@ -190,26 +149,12 @@ def _block_kernel(
         )
         h2 = h1 + ls2_ref[:] * mlp
 
-        out = jnp.where(keep, h2, y).astype(o_vmem.dtype)
+        out = jnp.where(keep, h2, y).astype(out_ref.dtype)
         if c_pad != c_real:
             out = jnp.concatenate(
-                [out, jnp.zeros((out.shape[0], c_pad - c_real), out.dtype)],
-                axis=-1,
+                [out, jnp.zeros((hw, c_pad - c_real), out.dtype)], axis=-1
             )
-        o_vmem[:] = out.reshape(wb, hw, c_pad)
-
-    # ---- overlapped writeback for active slots ------------------------------
-    for j in range(wb):
-        @pl.when(base + j < n_win)
-        def _(j=j):
-            wid = ids_ref[base + j]
-            pltpu.make_async_copy(o_vmem.at[j], out_hbm.at[wid], sems_o.at[j]).start()
-
-    for j in range(wb):
-        @pl.when(base + j < n_win)
-        def _(j=j):
-            wid = ids_ref[base + j]
-            pltpu.make_async_copy(o_vmem.at[j], out_hbm.at[wid], sems_o.at[j]).wait()
+        out_ref[...] = out[None]
 
 
 def sparse_window_block(
@@ -220,7 +165,6 @@ def sparse_window_block(
     num_heads: int,
     dim_head: int,
     norm_eps: float = 1e-5,
-    window_block: int = WINDOW_BLOCK,
 ) -> jnp.ndarray:
     """Apply the fused sparse block to kept windows only.
 
@@ -235,15 +179,10 @@ def sparse_window_block(
     Returns (M, hw, C) array of y's dtype.
     """
     M, hw, C = y.shape
-    wb = max(1, min(window_block, M))
     c_pad = _round_up(C, LANE)
     n_win = jnp.sum(win_keep.astype(jnp.int32))
-    # Compacted work list: kept window ids first (stable order), padded to a
-    # multiple of wb (pad entries point at window 0 but are never active).
+    # Permutation of all windows, kept first: every window is visited once.
     ids = jnp.argsort(~win_keep, stable=True).astype(jnp.int32)
-    n_ids = _round_up(M, wb)
-    if n_ids != M:
-        ids = jnp.concatenate([ids, jnp.zeros((n_ids - M,), jnp.int32)])
 
     y_in = y
     if c_pad != C:
@@ -277,39 +216,30 @@ def sparse_window_block(
 
     kernel = functools.partial(
         _block_kernel,
-        hw=hw,
         c_real=C,
         num_heads=num_heads,
         dim_head=dim_head,
         norm_eps=norm_eps,
-        wb=wb,
     )
+
+    def win_map(i, ids, nwin):
+        return (ids[i], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # ids, n_win
-        grid=(n_ids // wb,),
+        grid=(M,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # y (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # keep (HBM)
+            pl.BlockSpec((1, hw, c_pad), win_map),
+            pl.BlockSpec((1, hw, LANE), win_map),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((wb, hw, c_pad), y.dtype),
-            pltpu.VMEM((wb, hw, LANE), jnp.float32),
-            pltpu.VMEM((wb, hw, c_pad), y.dtype),
-            pltpu.SemaphoreType.DMA((wb,)),
-            pltpu.SemaphoreType.DMA((wb,)),
-            pltpu.SemaphoreType.DMA((wb,)),
-        ],
+        out_specs=pl.BlockSpec((1, hw, c_pad), win_map),
     )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(y_in.shape, y.dtype),
-        input_output_aliases={2: 0},  # y (first non-prefetch operand) -> out
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids, jnp.asarray([n_win], jnp.int32), y_in, keep_f32, *weights)
     if c_pad != C:
         out = out[:, :, :C]
