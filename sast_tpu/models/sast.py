@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sast_tpu.config import AttentionConfig
-from sast_tpu.models.layers import GatedMLP, LayerScale, get_activation
+from sast_tpu.models.layers import get_activation
 from sast_tpu.ops.partition import (
     grid_partition,
     grid_reverse,

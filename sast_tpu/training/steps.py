@@ -33,7 +33,6 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from sast_tpu.config import ExperimentConfig
