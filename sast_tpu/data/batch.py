@@ -22,6 +22,25 @@ import numpy as np
 
 from sast_tpu.data.labels import FrameLabels, pad_labels_yolox
 
+_dropped_warned = False
+
+
+def _warn_dropped_frames(found: int, budget: int) -> None:
+    """Warn once if labeled frames exceed the static per-lane budget L
+    (training.max_labeled_frames_per_lane is too small for this dataset's
+    label density x sequence_length)."""
+    global _dropped_warned
+    if not _dropped_warned:
+        import sys
+
+        print(
+            f"WARNING: clip has {found} labeled frames but the budget "
+            f"max_labeled_frames_per_lane={budget}; excess frames are dropped "
+            "from the loss. Raise training.max_labeled_frames_per_lane.",
+            file=sys.stderr,
+        )
+        _dropped_warned = True
+
 
 def assemble_batch(
     clips: List[dict],
@@ -52,6 +71,8 @@ def assemble_batch(
             for t, fl in enumerate(clip["labels"])
             if fl is not None and len(fl) > 0
         ]
+        if len(tidx) > L:
+            _warn_dropped_frames(len(tidx), L)
         if keep_last:
             tidx = tidx[-L:]
         else:
