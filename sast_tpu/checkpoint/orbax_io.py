@@ -44,6 +44,8 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        if getattr(state, "ema_params", None) is not None:
+            payload["ema_params"] = state.ema_params
         self._mgr.save(
             step,
             args=ocp.args.Composite(
@@ -69,16 +71,21 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        if getattr(state, "ema_params", None) is not None:
+            template["ema_params"] = state.ema_params
         restored = self._mgr.restore(
             step,
             args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
         )["state"]
-        return state.replace(
+        state = state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+        if "ema_params" in restored:
+            state = state.replace(ema_params=restored["ema_params"])
+        return state
 
     def restore_weights(self, state: Any, step: Optional[int] = None) -> Any:
         """Weights-only restore (reference resume_only_weights)."""
