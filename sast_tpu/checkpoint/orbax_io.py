@@ -97,13 +97,18 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        if getattr(state, "ema_params", None) is not None:
+            template["ema_params"] = state.ema_params
         restored = self._mgr.restore(
             step,
             args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
         )["state"]
-        return state.replace(
+        state = state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
+        if "ema_params" in restored:
+            state = state.replace(ema_params=restored["ema_params"])
+        return state
 
     def close(self) -> None:
         self._mgr.close()
