@@ -115,6 +115,13 @@ class AttentionConfig:
     drop_path: float = 0.0
     ls_init_value: float = 1e-5
     enable_cb: bool = False  # Context Broadcasting
+    # Runtime window-density crossover for the Pallas sparse kernel (used
+    # only when the model is built with use_pallas): below this fraction of
+    # kept windows the kernel runs, above it the batched XLA path.
+    # Default 1.0 = always the kernel (no lax.cond): measured on v5e, the
+    # cond's fusion barrier costs more than adaptive routing saves
+    # (XLA branch 0.51 -> 2.36 ms inside cond at the full-model level).
+    pallas_density_threshold: float = 1.0
     amp: float = 2e-4       # 'AMP' selection amplification constant
     bounce: float = 1e-3    # 'BOUNCE' threshold slack
     norm_eps: float = 1e-5

@@ -178,6 +178,7 @@ class MaskedSparseAttention(nn.Module):
     dtype: Optional[Dtype] = None
 
     use_pallas: bool = False
+    pallas_threshold: float = 0.4  # window-density crossover for lax.cond
 
     @nn.compact
     def __call__(
@@ -207,15 +208,73 @@ class MaskedSparseAttention(nn.Module):
         dt = self.dtype or x.dtype
 
         y = _layernorm(x, n1_scale, n1_bias, self.norm_eps)
+        keep = token_keep[..., None]  # (B, N, hw, 1)
+        # Modules created unconditionally (before any lax.cond branch).
+        dp1 = DropPath(self.drop_path, name="drop_path1")
+        dp2 = DropPath(self.drop_path, name="drop_path2")
+
+        # ---- XLA masked path -------------------------------------------------
+        def xla_path(_):
+            # Selected tokens receive norm2 before attention (SAST.py:214);
+            # they are also the attention shortcut. Others stay at y.
+            z = jnp.where(keep, _layernorm(y, n2_scale, n2_bias, self.norm_eps), y)
+
+            zc = z.astype(dt)
+            qkv = zc @ w_qkv.astype(dt)
+            if b_qkv is not None:
+                qkv = qkv + b_qkv.astype(dt)
+            qkv = qkv.reshape(B, N, hw, 3, num_heads, self.dim_head)
+            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+            scale = self.dim_head ** -0.5
+            # (B, N, heads, hw_q, hw_k)
+            logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q, k) * scale
+            key_mask = token_keep[:, :, None, None, :]  # column (key) mask
+            logits = jnp.where(
+                key_mask, logits, jnp.asarray(MASK_VALUE, logits.dtype)
+            )
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(B, N, hw, C)
+            out = out.astype(dt) @ w_proj.astype(dt)
+            if b_proj is not None:
+                out = out + b_proj.astype(dt)
+
+            h = z + dp1(ls1.astype(z.dtype) * out, deterministic=deterministic)
+
+            u = h.astype(dt) @ w_glu.astype(dt)
+            if b_glu is not None:
+                u = u + b_glu.astype(dt)
+            val, gate = jnp.split(u, 2, axis=-1)
+            m = val * get_activation(self.mlp_act)(gate)
+            mlp_out = m @ w_out.astype(dt)
+            if b_out is not None:
+                mlp_out = mlp_out + b_out.astype(dt)
+
+            if self.enable_cb:
+                # Context Broadcasting (SAST.py:239-246): mix each selected
+                # token's MLP output with the mean over *all* token slots
+                # (unselected contribute zero): mean = sum(selected)/(N*hw).
+                masked = jnp.where(keep, mlp_out, 0.0)
+                mean = jnp.mean(masked, axis=(1, 2), keepdims=True)
+                mlp_out = 0.5 * masked + 0.5 * mean
+
+            h2 = h + dp2(ls2.astype(h.dtype) * mlp_out, deterministic=deterministic)
+            return jnp.where(keep, h2, y)
 
         # ---- fused Pallas window-skipping path (inference) ------------------
+        # Dispatched at runtime by scene density: the kernel's FLOPs scale
+        # with kept windows but its per-window overhead loses to the batched
+        # XLA path above the threshold, so lax.cond picks per call.
         use_pallas = (
             self.use_pallas
             and win_keep is not None
             and not self.enable_cb
             and self.drop_path == 0.0
         )
-        if use_pallas:
+        if not use_pallas:
+            return xla_path(None)
+
+        def pallas_path(_):
             from sast_tpu.ops.pallas.sparse_block import sparse_window_block
 
             params = {
@@ -243,54 +302,12 @@ class MaskedSparseAttention(nn.Module):
             )
             return out.reshape(B, N, hw, C)
 
-        # ---- XLA masked path -------------------------------------------------
-        keep = token_keep[..., None]  # (B, N, hw, 1)
-        # Selected tokens receive norm2 before attention (SAST.py:214); they
-        # are also the attention shortcut. Unselected positions stay at y.
-        z = jnp.where(keep, _layernorm(y, n2_scale, n2_bias, self.norm_eps), y)
-
-        zc = z.astype(dt)
-        qkv = zc @ w_qkv.astype(dt)
-        if b_qkv is not None:
-            qkv = qkv + b_qkv.astype(dt)
-        qkv = qkv.reshape(B, N, hw, 3, num_heads, self.dim_head)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-
-        scale = self.dim_head ** -0.5
-        # (B, N, heads, hw_q, hw_k)
-        logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q, k) * scale
-        key_mask = token_keep[:, :, None, None, :]  # mask keys (column mask)
-        logits = jnp.where(key_mask, logits, jnp.asarray(MASK_VALUE, logits.dtype))
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(B, N, hw, C)
-        out = out.astype(dt) @ w_proj.astype(dt)
-        if b_proj is not None:
-            out = out + b_proj.astype(dt)
-
-        dp1 = DropPath(self.drop_path, name="drop_path1")
-        dp2 = DropPath(self.drop_path, name="drop_path2")
-
-        h = z + dp1(ls1.astype(z.dtype) * out, deterministic=deterministic)
-
-        u = h.astype(dt) @ w_glu.astype(dt)
-        if b_glu is not None:
-            u = u + b_glu.astype(dt)
-        val, gate = jnp.split(u, 2, axis=-1)
-        m = val * get_activation(self.mlp_act)(gate)
-        mlp_out = m @ w_out.astype(dt)
-        if b_out is not None:
-            mlp_out = mlp_out + b_out.astype(dt)
-
-        if self.enable_cb:
-            # Context Broadcasting (SAST.py:239-246): mix each selected token's
-            # MLP output with the mean over *all* token slots (unselected
-            # contribute zero), i.e. mean = sum(selected) / (N * hw).
-            masked = jnp.where(keep, mlp_out, 0.0)
-            mean = jnp.mean(masked, axis=(1, 2), keepdims=True)
-            mlp_out = 0.5 * masked + 0.5 * mean
-
-        h2 = h + dp2(ls2.astype(h.dtype) * mlp_out, deterministic=deterministic)
-        return jnp.where(keep, h2, y)
+        if self.pallas_threshold >= 1.0:
+            return pallas_path(None)
+        frac = jnp.mean(win_keep.astype(jnp.float32))
+        return jax.lax.cond(
+            frac <= self.pallas_threshold, pallas_path, xla_path, None
+        )
 
 
 class SASTBlock(nn.Module):
@@ -309,6 +326,7 @@ class SASTBlock(nn.Module):
     first_block: bool = False
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    pallas_threshold: float = 0.4  # window-density crossover for lax.cond
 
     @nn.compact
     def __call__(
@@ -337,6 +355,7 @@ class SASTBlock(nn.Module):
             enable_cb=cfg.enable_cb,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_threshold=cfg.pallas_density_threshold,
         )
 
         x = x + pos_emb.astype(x.dtype)
