@@ -59,7 +59,13 @@ def assemble_batch(
     T = clips[0]["ev_repr"].shape[0]
     L = max_labeled_frames
 
-    ev = np.stack([c["ev_repr"] for c in clips], axis=1)  # (T, B, H, W, C)
+    # (T, B, H, W*C) uint8: the merged minor dim defeats the TPU lane
+    # padding (C=20 alone pads 6.4x to 128 lanes and XLA additionally
+    # relayouts the whole sequence, +2.3 GB on the gen4 recipe). The
+    # per-step (W*C) -> (W, C) split happens on device inside the scan.
+    ev = np.stack([c["ev_repr"] for c in clips], axis=1)
+    T_, B_, H_, W_, C_ = ev.shape
+    ev = np.ascontiguousarray(ev).reshape(T_, B_, H_, W_ * C_)
     is_first = np.array([c["is_first"] for c in clips], bool)
 
     frame_tidx = np.zeros((B, L), np.int32)
@@ -89,7 +95,7 @@ def assemble_batch(
     boxes, classes, valid = pad_labels_yolox(flat, max_gt)  # (B*L, G, ...)
 
     return {
-        "ev_repr": ev,  # uint8 or float32, native resolution
+        "ev_repr": ev,  # (T, B, H, W*C) uint8/float32, native resolution
         "frame_tidx": frame_tidx,
         "frame_valid": frame_valid,
         "gt_boxes": boxes.reshape(B, L, max_gt, 4),

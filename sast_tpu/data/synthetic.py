@@ -23,12 +23,13 @@ def sparse_event_input(
 ) -> np.ndarray:
     """Random event-histogram-like input with the given zero fraction.
 
-    uint8-ranged counts, generated with cheap integer RNG (the build host has
-    a single CPU core; poisson over 10^7 elements takes tens of seconds).
+    uint8 counts matching the real pipeline contract (fp32 batches would
+    also inflate HBM: a gen4-recipe fp32 batch costs 1.1 GB on device and
+    OOMs with remat copies).
     """
     u = rng.random_sample(shape).astype(np.float32)
-    counts = (u * max_count).astype(np.float32) + 1.0
-    return np.where(u >= sparsity, counts, 0.0).astype(np.float32)
+    counts = (u * max_count).astype(np.uint8) + 1
+    return np.where(u >= sparsity, counts, 0).astype(np.uint8)
 
 
 def synthetic_train_batch(
@@ -45,7 +46,7 @@ def synthetic_train_batch(
     L = cfg.training.max_labeled_frames_per_lane
     G = cfg.model.head.max_gt
 
-    ev = sparse_event_input(rng, (T, B, H, W, C), sparsity)
+    ev = sparse_event_input(rng, (T, B, H, W, C), sparsity).reshape(T, B, H, W * C)
 
     # Labeled frames: pick L distinct timesteps per lane (last is always labeled).
     frame_tidx = np.zeros((B, L), np.int32)

@@ -152,6 +152,8 @@ class Trainer:
                     lane, slot = f // batch["frame_tidx"].shape[1], f % batch["frame_tidx"].shape[1]
                     tidx = int(batch["frame_tidx"][lane, slot])
                     ev = np.asarray(batch["ev_repr"][tidx, lane])
+                    ch = cfg.model.backbone.input_channels
+                    ev = ev.reshape(ev.shape[0], ev.shape[1] // ch, ch)
                     gt = gts[0]
                     pd = preds[0]
                     panel = render_detection_frame(

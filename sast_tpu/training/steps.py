@@ -16,7 +16,10 @@ TPU-native reformulation of the reference Lightning task module
   (modules/utils/detection.py:115-130).
 
 Batch layout (see data/batch.py):
-  ev_repr      (T, B, H, W, C) float32
+  ev_repr      (T, B, H, W*C) uint8, W and C merged so the sequence sits in
+               HBM unpadded; the per-step split/cast/pad happens on device
+               behind an optimization barrier (neither the fp32 copy nor a
+               lane-padded relayout of the whole sequence ever materializes)
   frame_tidx   (B, L) int32    time index of each selected labeled frame
   frame_valid  (B, L) bool
   gt_boxes     (B, L, G, 4) float32 cxcywh (input pixels)
@@ -95,20 +98,31 @@ def _backbone_scan(
     lstm_states,
     in_stages: Tuple[int, ...],
     deterministic: bool,
+    padder: Optional[InputPadder] = None,
+    num_channels: Optional[int] = None,
 ):
     """Scan the recurrent backbone over time; returns stacked FPN-input feats.
 
-    ev_repr: (T, B, H, W, C). Output feats: tuple of (T, B, h, w, c) for the
-    requested stages. The scan step is rematerialized with the
-    ``dots_saveable`` policy: matmul/conv outputs are saved, elementwise
-    chains recomputed — 20x faster than full rematerialization on v5e
-    (12.9 ms vs 258 ms per gen1-base B=8 T=21 step) at acceptable memory.
+    ev_repr: (T, B, H, W*C) uint8 when padder is given (W, C merged; see the
+    module docstring), else (T, B, H, W, C) float. The per-step split + cast
+    + pad happen INSIDE the scan so only one timestep materializes at fp32.
+    The scan step is rematerialized with the ``dots_saveable`` policy:
+    matmul/conv outputs are saved, elementwise chains recomputed — 20x faster
+    than full rematerialization on v5e (12.9 ms vs 258 ms per gen1-base
+    B=8 T=21 step) at acceptable memory.
     """
 
     @functools.partial(
         jax.checkpoint, policy=jax.checkpoint_policies.dots_saveable
     )
     def step(states, x_t):
+        if padder is not None:
+            # The barrier stops XLA from hoisting the split/cast out of the
+            # loop into full-sequence padded/fp32 buffers (OOMs gen4 recipe).
+            (x_t,) = jax.lax.optimization_barrier((x_t,))
+            Bq, Hq, WC = x_t.shape
+            x_t = x_t.reshape(Bq, Hq, WC // num_channels, num_channels)
+            x_t = padder.pad_tensor_ev_repr(x_t.astype(jnp.float32))
         feats, new_states, p = model.apply(
             {"params": params},
             x_t,
@@ -136,15 +150,13 @@ def make_train_step(
         lstm_states = _reset_states(lstm_states, batch["is_first"])
         T, B = batch["ev_repr"].shape[:2]
         L = batch["frame_tidx"].shape[1]
-        # Events arrive uint8 at native resolution; cast + pad on device.
-        ev_repr = padder.pad_tensor_ev_repr(
-            batch["ev_repr"].astype(jnp.float32)
-        )
+        ev_repr = batch["ev_repr"]  # (T, B, H, W*C) uint8
 
         def loss_fn(params):
             final_states, feats_seq, p_seq = _backbone_scan(
                 model, params, ev_repr, lstm_states, in_stages,
-                deterministic=True,
+                deterministic=True, padder=padder,
+                num_channels=cfg.model.backbone.input_channels,
             )
             # Lane-local gather of labeled frames: (T, B, ...) -> (B, L, ...).
             lane = jnp.arange(B)[:, None]
@@ -225,13 +237,12 @@ def make_eval_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
         T, B = batch["ev_repr"].shape[:2]
         L = batch["frame_tidx"].shape[1]
         params = variables["params"]
-        ev_repr = padder.pad_tensor_ev_repr(
-            batch["ev_repr"].astype(jnp.float32)
-        )
+        ev_repr = batch["ev_repr"]  # (T, B, H, W*C) uint8
 
         final_states, feats_seq, _ = _backbone_scan(
             model, params, ev_repr, lstm_states, in_stages,
-            deterministic=True,
+            deterministic=True, padder=padder,
+            num_channels=cfg.model.backbone.input_channels,
         )
         lane = jnp.arange(B)[:, None]
         sel = {

@@ -125,7 +125,7 @@ def test_assemble_batch_layout(dataset_root):
     clips = [next(iter(ClipIterator(s.reader, 5, s.ranges))) for s in streams[:2]]
     batch = assemble_batch(clips, max_labeled_frames=2, max_gt=8)
     dev, host = split_device_batch(batch)
-    assert dev["ev_repr"].shape == (5, 2, H, W, C)
+    assert dev["ev_repr"].shape == (5, 2, H, W * C)
     assert dev["ev_repr"].dtype == np.uint8
     assert dev["frame_tidx"].shape == (2, 2)
     assert dev["gt_boxes"].shape == (2, 2, 8, 4)
