@@ -138,6 +138,12 @@ def _ms_wsa(sd, prefix: str, dim: int, dim_head: int) -> Dict:
 def convert_state_dict(sd: Dict[str, Any], cfg: ModelConfig) -> Tuple[Dict, Dict]:
     """Reference 'mdl.*' state_dict -> (params, batch_stats) pytrees."""
     sd = {k[len("mdl."):] if k.startswith("mdl.") else k: v for k, v in sd.items()}
+    # The reference detector's head attribute is ``yolox_head``
+    # (yolox_extension/models/detector.py:32) -> normalize to ``head.``.
+    sd = {
+        ("head." + k[len("yolox_head."):]) if k.startswith("yolox_head.") else k: v
+        for k, v in sd.items()
+    }
     sd = {k: np.asarray(v.cpu().numpy() if hasattr(v, "cpu") else v) for k, v in sd.items()}
 
     bb = cfg.backbone

@@ -170,6 +170,7 @@ class MaskedSparseAttention(nn.Module):
     use_bias: bool = True
     ls_init_value: float = 1e-5
     drop_path: float = 0.0
+    drop_mlp: float = 0.0
     mlp_ratio: int = 4
     mlp_act: str = "gelu"
     mlp_bias: bool = True
@@ -212,6 +213,9 @@ class MaskedSparseAttention(nn.Module):
         # Modules created unconditionally (before any lax.cond branch).
         dp1 = DropPath(self.drop_path, name="drop_path1")
         dp2 = DropPath(self.drop_path, name="drop_path2")
+        # MLP dropout sits between the gated activation and the output
+        # projection (reference MLP: GLU -> Dropout -> Linear, ops.py:165-170).
+        mlp_drop = nn.Dropout(rate=self.drop_mlp, name="mlp_drop")
 
         # ---- XLA masked path -------------------------------------------------
         def xla_path(_):
@@ -246,6 +250,7 @@ class MaskedSparseAttention(nn.Module):
                 u = u + b_glu.astype(dt)
             val, gate = jnp.split(u, 2, axis=-1)
             m = val * get_activation(self.mlp_act)(gate)
+            m = mlp_drop(m, deterministic=deterministic)
             mlp_out = m @ w_out.astype(dt)
             if b_out is not None:
                 mlp_out = mlp_out + b_out.astype(dt)
@@ -348,6 +353,7 @@ class SASTBlock(nn.Module):
             use_bias=cfg.attention_bias,
             ls_init_value=cfg.ls_init_value,
             drop_path=cfg.drop_path,
+            drop_mlp=cfg.drop_mlp,
             mlp_ratio=cfg.mlp_ratio,
             mlp_act=cfg.mlp_activation,
             mlp_bias=cfg.mlp_bias,

@@ -52,3 +52,27 @@ def shard_batch_pytree(tree: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
 def process_shard_info() -> tuple:
     """(rank, world_size) for host-side data sharding (multi-host)."""
     return jax.process_index(), jax.process_count()
+
+
+def maybe_initialize_distributed() -> bool:
+    """Call ``jax.distributed.initialize()`` when launched as one process of a
+    multi-host job (the GSPMD equivalent of ``dist.init_process_group``,
+    /root/reference/train.py:91-98).
+
+    Triggered by the standard JAX coordinator env
+    (``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID``)
+    or by a TPU-pod environment where initialize() self-discovers. Returns
+    True if initialize() was called.
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if addr and nproc:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+        return True
+    return False

@@ -49,7 +49,15 @@ class Trainer:
         val_every: Optional[int] = 10_000,
         ckpt_every: Optional[int] = None,
         use_pallas_eval: bool = False,
+        learning_rate: Optional[float] = None,
+        mesh=None,
     ):
+        """``learning_rate`` overrides the config peak lr (the multi-chip
+        sqrt(global_batch/8) scaling computed in train.py); ``mesh`` is an
+        optional 1-D data-parallel ``jax.sharding.Mesh`` — when given, the
+        model/optimizer state is replicated and every batch is device_put
+        with its batch axis sharded over the mesh, the GSPMD equivalent of
+        the reference's production DDP wiring (train.py:91-98)."""
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
@@ -59,7 +67,16 @@ class Trainer:
         self.ckpt_every = ckpt_every
 
         seed = cfg.training.seed if cfg.training.seed is not None else 0
-        self.state, self.model = create_train_state(cfg, jax.random.PRNGKey(seed))
+        self.state, self.model = create_train_state(
+            cfg, jax.random.PRNGKey(seed), learning_rate=learning_rate
+        )
+        self.mesh = mesh
+        if mesh is not None:
+            from sast_tpu.parallel.mesh import batch_sharding, replicated
+
+            self._sh_b0 = batch_sharding(mesh, 0)
+            self._sh_b1 = batch_sharding(mesh, 1)  # ev_repr is (T, B, ...)
+            self.state = jax.device_put(self.state, replicated(mesh))
         self.train_step = jax.jit(
             make_train_step(self.model, cfg), donate_argnums=(0, 2)
         )
@@ -72,6 +89,24 @@ class Trainer:
         self.eval_step = jax.jit(make_eval_step(eval_model, cfg), donate_argnums=(2,))
         self._ckpt = None
         self.p_smooth = SmoothedValue()
+
+    def _put_batch(self, device_batch: dict) -> dict:
+        """Move a host batch to device(s). With a mesh, ev_repr (T, B, ...)
+        shards on axis 1 and every other leaf on axis 0 — XLA inserts the
+        gradient psum over the mesh during partitioning."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in device_batch.items()}
+        return {
+            k: jax.device_put(
+                np.asarray(v), self._sh_b1 if k == "ev_repr" else self._sh_b0
+            )
+            for k, v in device_batch.items()
+        }
+
+    def _put_states(self, lstm):
+        if self.mesh is None:
+            return lstm
+        return jax.device_put(lstm, self._sh_b0)
 
     # -- checkpointing -----------------------------------------------------
     @property
@@ -120,10 +155,12 @@ class Trainer:
         n = 0
         for batch in eval_batches:
             device_batch, host = split_device_batch(batch)
-            device_batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
+            device_batch = self._put_batch(device_batch)
             if lstm is None:
                 B = device_batch["ev_repr"].shape[1]
-                lstm = zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
+                lstm = self._put_states(
+                    zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
+                )
             lstm, dets = self.eval_step(variables, device_batch, lstm)
             dets_np = jax.device_get(dets)
 
@@ -200,10 +237,12 @@ class Trainer:
             if step >= max_steps:
                 break
             device_batch, _ = split_device_batch(batch)
-            device_batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
+            device_batch = self._put_batch(device_batch)
             if lstm is None:
                 B = device_batch["ev_repr"].shape[1]
-                lstm = zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
+                lstm = self._put_states(
+                    zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
+                )
             self.state, lstm, metrics = self.train_step(self.state, device_batch, lstm)
             step += 1
 

@@ -100,6 +100,7 @@ def _backbone_scan(
     deterministic: bool,
     padder: Optional[InputPadder] = None,
     num_channels: Optional[int] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Scan the recurrent backbone over time; returns stacked FPN-input feats.
 
@@ -110,12 +111,25 @@ def _backbone_scan(
     matmul/conv outputs are saved, elementwise chains recomputed — 20x faster
     than full rematerialization on v5e (12.9 ms vs 258 ms per gen1-base
     B=8 T=21 step) at acceptable memory.
+
+    When ``dropout_rng`` is given (and deterministic=False), a fresh dropout
+    key is split off the scan carry each timestep, so drop_path /
+    drop_cell_update / drop_mlp sample new masks per step — matching the
+    reference, where every torch dropout call draws fresh randomness
+    (SAST.py:186-193, rnn.py cell-update dropout).
     """
+    thread_rng = dropout_rng is not None
 
     @functools.partial(
         jax.checkpoint, policy=jax.checkpoint_policies.dots_saveable
     )
-    def step(states, x_t):
+    def step(carry, x_t):
+        if thread_rng:
+            states, key = carry
+            key, sub = jax.random.split(key)
+            rngs = {"dropout": sub}
+        else:
+            states, rngs = carry, None
         if padder is not None:
             # The barrier stops XLA from hoisting the split/cast out of the
             # loop into full-sequence padded/fp32 buffers (OOMs gen4 recipe).
@@ -129,11 +143,15 @@ def _backbone_scan(
             states,
             method=YoloXDetector.forward_backbone,
             deterministic=deterministic,
+            rngs=rngs,
         )
         out = tuple(feats[s] for s in in_stages)
-        return new_states, (out, p)
+        new_carry = (new_states, key) if thread_rng else new_states
+        return new_carry, (out, p)
 
-    final_states, (feats_seq, p_seq) = jax.lax.scan(step, lstm_states, ev_repr)
+    carry0 = (lstm_states, dropout_rng) if thread_rng else lstm_states
+    final_carry, (feats_seq, p_seq) = jax.lax.scan(step, carry0, ev_repr)
+    final_states = final_carry[0] if thread_rng else final_carry
     return final_states, feats_seq, p_seq
 
 
@@ -145,18 +163,34 @@ def make_train_step(
     num_classes = cfg.model.head.num_classes
     topk = cfg.model.head.simota_topk
     padder = InputPadder(cfg.model.backbone.in_res_hw)
+    # Stochastic regularization is active iff any rate is nonzero (reference
+    # defaults all to 0). The per-step dropout key is derived from the seed
+    # and the optimizer step, so resume reproduces the same noise stream.
+    att = cfg.model.backbone.attention
+    stochastic = (
+        att.drop_path > 0.0
+        or att.drop_mlp > 0.0
+        or cfg.model.backbone.lstm.drop_cell_update > 0.0
+    )
+    seed = cfg.training.seed if cfg.training.seed is not None else 0
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], lstm_states):
         lstm_states = _reset_states(lstm_states, batch["is_first"])
         T, B = batch["ev_repr"].shape[:2]
         L = batch["frame_tidx"].shape[1]
         ev_repr = batch["ev_repr"]  # (T, B, H, W*C) uint8
+        dropout_rng = (
+            jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+            if stochastic
+            else None
+        )
 
         def loss_fn(params):
             final_states, feats_seq, p_seq = _backbone_scan(
                 model, params, ev_repr, lstm_states, in_stages,
-                deterministic=True, padder=padder,
+                deterministic=not stochastic, padder=padder,
                 num_channels=cfg.model.backbone.input_channels,
+                dropout_rng=dropout_rng,
             )
             # Lane-local gather of labeled frames: (T, B, ...) -> (B, L, ...).
             lane = jnp.arange(B)[:, None]

@@ -122,3 +122,79 @@ def test_pallas_interpret_matches_xla():
         )
     finally:
         sb.pl.pallas_call = sbpc
+
+
+def test_stochastic_regularization_rng_plumbing():
+    """drop_path / drop_mlp must actually act in train mode (VERDICT r1 #6):
+    different rng keys give different outputs, eval mode is the identity
+    w.r.t. a drop-free module with the same params."""
+    import jax
+    import jax.numpy as jnp
+
+    from sast_tpu.models.sast import MaskedSparseAttention
+
+    B, N, hw, C, DH = 2, 4, 6, 32, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, hw, C), jnp.float32)
+    keep = jnp.ones((B, N, hw), bool)
+
+    mod = MaskedSparseAttention(
+        dim=C, dim_head=DH, drop_path=0.5, drop_mlp=0.3, dtype=jnp.float32
+    )
+    variables = mod.init(jax.random.PRNGKey(1), x, keep)
+
+    def run_train(key):
+        return mod.apply(
+            variables, x, keep, deterministic=False, rngs={"dropout": key}
+        )
+
+    y1 = jax.jit(run_train)(jax.random.PRNGKey(2))
+    y2 = jax.jit(run_train)(jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(y1), np.asarray(y2)), (
+        "different dropout keys must change train-mode outputs"
+    )
+
+    # Eval mode: identical to a module with zero drop rates (same params --
+    # DropPath/Dropout are parameter-free).
+    mod0 = MaskedSparseAttention(dim=C, dim_head=DH, dtype=jnp.float32)
+    y_eval = jax.jit(lambda: mod.apply(variables, x, keep, deterministic=True))()
+    y_ref = jax.jit(lambda: mod0.apply(variables, x, keep))()
+    np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_ref), rtol=1e-6)
+
+
+def test_train_step_stochastic_smoke():
+    """A config with nonzero drop rates must train (rngs threaded through the
+    scan) and produce a different loss than the deterministic config."""
+    import dataclasses
+
+    import jax
+
+    from sast_tpu.config import get_test_config
+    from sast_tpu.data.synthetic import synthetic_train_batch
+    from sast_tpu.models.backbone import zero_states
+    from sast_tpu.training.steps import create_train_state, make_train_step
+
+    cfg = get_test_config()
+    att = dataclasses.replace(
+        cfg.model.backbone.attention, drop_path=0.4, drop_mlp=0.2
+    )
+    lstm = dataclasses.replace(cfg.model.backbone.lstm, drop_cell_update=0.2)
+    bb = dataclasses.replace(cfg.model.backbone, attention=att, lstm=lstm)
+    model = dataclasses.replace(cfg.model, backbone=bb)
+    cfg_s = dataclasses.replace(cfg, model=model)
+
+    batch_np = synthetic_train_batch(
+        cfg, np.random.RandomState(0), batch_size=2, seq_len=2
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    state_s, model_s = create_train_state(cfg_s, jax.random.PRNGKey(0))
+    step_s = jax.jit(make_train_step(model_s, cfg_s))
+    lstm0 = zero_states(cfg.model.backbone, 2)
+    _, _, m_s = step_s(state_s, batch, lstm0)
+    assert np.isfinite(float(m_s["loss"]))
+
+    state_d, model_d = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_d = jax.jit(make_train_step(model_d, cfg))
+    _, _, m_d = step_d(state_d, batch, lstm0)
+    # same params/batch, dropout on vs off -> losses differ
+    assert abs(float(m_s["loss"]) - float(m_d["loss"])) > 1e-6

@@ -55,3 +55,39 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_fit_with_mesh(tmp_path):
+    """The PRODUCTION Trainer (loop.py) running data-parallel: fit over the
+    8-device mesh must match single-device fit step-for-step."""
+    from sast_tpu.training.loop import Trainer
+
+    cfg = get_test_config()
+    B = 8
+
+    def batches():
+        rng = np.random.RandomState(0)
+        i = 0
+        while True:
+            b = synthetic_train_batch(cfg, rng, batch_size=B, seq_len=2)
+            b["is_first"] = np.full((B,), i == 0)
+            yield b
+            i += 1
+
+    mesh = make_mesh(jax.devices()[:8])
+    tr_mesh = Trainer(
+        cfg, workdir=str(tmp_path / "m"), log_every=1, val_every=None, mesh=mesh
+    )
+    m_mesh = tr_mesh.fit(batches(), max_steps=2)
+
+    tr_single = Trainer(
+        cfg, workdir=str(tmp_path / "s"), log_every=1, val_every=None
+    )
+    m_single = tr_single.fit(batches(), max_steps=2)
+
+    assert abs(m_mesh["train/loss"] - m_single["train/loss"]) < 1e-3
+    for a, b in zip(
+        jax.tree.leaves(tr_mesh.state.params), jax.tree.leaves(tr_single.state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5)

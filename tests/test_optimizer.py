@@ -48,3 +48,48 @@ def test_clip_by_value():
     # after value clipping to [-1, 1], adam normalizes; the sign survives
     u = np.asarray(updates["w"])
     assert u[0] < 0 and u[1] > 0 and u[2] < 0  # descent direction
+
+
+def test_build_optimizer_lr_override_is_linear():
+    """The learning_rate argument must actually drive the update magnitude
+    (guards the train.py -> Trainer -> create_train_state lr plumbing)."""
+    import jax.numpy as jnp
+
+    cfg = TrainingConfig(lr_scheduler=LRSchedulerConfig(use=False))
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.full((3,), 0.5)}
+
+    def first_update(lr):
+        tx = build_optimizer(cfg, learning_rate=lr)
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        return np.asarray(updates["w"])
+
+    u1 = first_update(1e-4)
+    u2 = first_update(2e-4)
+    np.testing.assert_allclose(u2, 2.0 * u1, rtol=1e-6)
+    assert np.all(u1 != 0)
+
+
+def test_trainer_plumbs_scaled_lr(monkeypatch, tmp_path):
+    """Trainer.__init__ must forward learning_rate to create_train_state
+    (VERDICT r1 bug: scale_lr_for_global_batch output was dropped)."""
+    import sast_tpu.training.loop as loop_mod
+    from sast_tpu.config import get_test_config
+
+    captured = {}
+    orig = loop_mod.create_train_state
+
+    def spy(cfg, rng, learning_rate=None):
+        captured["lr"] = learning_rate
+        return orig(cfg, rng, learning_rate=learning_rate)
+
+    monkeypatch.setattr(loop_mod, "create_train_state", spy)
+    cfg = get_test_config()
+    scaled = scale_lr_for_global_batch(
+        cfg.training.learning_rate, cfg.training.batch_size_train * 4
+    )
+    loop_mod.Trainer(
+        cfg, workdir=str(tmp_path), val_every=None, learning_rate=scaled
+    )
+    assert captured["lr"] == scaled

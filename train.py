@@ -50,9 +50,21 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    from sast_tpu.parallel.mesh import (
+        make_mesh,
+        maybe_initialize_distributed,
+        process_shard_info,
+    )
+
+    # Multi-host: connect to the coordinator BEFORE any device use so
+    # jax.devices() spans the pod slice (reference: dist.init_process_group,
+    # /root/reference/train.py:91-98).
+    maybe_initialize_distributed()
+
+    import jax
+
     from sast_tpu.config import get_config
     from sast_tpu.data.module import DataModule
-    from sast_tpu.parallel.mesh import process_shard_info
     from sast_tpu.training.loop import Trainer
     from sast_tpu.training.optimizer import scale_lr_for_global_batch
 
@@ -61,10 +73,22 @@ def main() -> None:
     cfg = get_config(args.dataset, args.size, **overrides)
 
     rank, world = process_shard_info()
-    lr = scale_lr_for_global_batch(
-        cfg.training.learning_rate, cfg.training.batch_size_train * max(world, 1)
-    ) if world > 1 else cfg.training.learning_rate
-    print(f"rank {rank}/{world}  lr {lr:.3e}", file=sys.stderr)
+    n_devices = jax.device_count()
+    # Reference rule (README Training): lr = base * sqrt(global_batch / 8).
+    # Each process feeds batch_size_train lanes; with a single-process
+    # multi-device mesh the global batch is still batch_size_train (sharded).
+    global_batch = cfg.training.batch_size_train * max(world, 1)
+    lr = (
+        scale_lr_for_global_batch(cfg.training.learning_rate, global_batch)
+        if world > 1
+        else cfg.training.learning_rate
+    )
+    mesh = make_mesh() if n_devices > 1 else None
+    print(
+        f"rank {rank}/{world}  devices {n_devices}  lr {lr:.3e}"
+        + ("  (data-parallel mesh)" if mesh is not None else ""),
+        file=sys.stderr,
+    )
 
     dm = DataModule(cfg, rank=rank, world_size=world)
     trainer = Trainer(
@@ -73,6 +97,8 @@ def main() -> None:
         use_wandb=args.wandb,
         log_every=args.log_every,
         val_every=args.val_every,
+        learning_rate=lr,
+        mesh=mesh,
     )
     trainer.maybe_resume(args.resume or args.resume_only_weights,
                          weights_only=args.resume_only_weights)
