@@ -27,7 +27,7 @@ from sast_tpu.models.backbone import zero_states
 from sast_tpu.models.detector import YoloXDetector
 from sast_tpu.models.head import inference_outputs
 from sast_tpu.ops.nms import postprocess
-from sast_tpu.utils.padding import InputPadder
+from sast_tpu.utils.padding import InputPadder, padding_token_mask
 
 
 class StreamingDetector:
@@ -60,6 +60,11 @@ class StreamingDetector:
         self.states = zero_states(bb, 1, dtype=dtype)
 
         padder = InputPadder(bb.in_res_hw)
+        token_mask = (
+            padding_token_mask(self.native_hw, bb.in_res_hw)
+            if bb.enable_masking
+            else None
+        )
         pp = cfg.model.postprocess
         num_classes = cfg.model.head.num_classes
         h, w = self.native_hw
@@ -77,6 +82,7 @@ class StreamingDetector:
                 {"params": variables["params"]},
                 ev,
                 states,
+                token_mask,
                 method=YoloXDetector.forward_backbone,
             )
             outputs = model.apply(

@@ -129,6 +129,28 @@ class Trainer:
             self.state = self.ckpt.restore(self.state)
         print(f"resumed from step {int(self.state.step)}", file=sys.stderr)
 
+    def resume_from_artifact(self, artifact_name: str, weights_only: bool = False) -> bool:
+        """Artifact-based checkpoint resume (reference wandb_logger.py:77-87 +
+        train.py artifact wiring): download the W&B model artifact and restore
+        from it. Returns True on success."""
+        local_dir = self.logger.download_checkpoint(artifact_name)
+        if local_dir is None:
+            return False
+        from sast_tpu.checkpoint.orbax_io import CheckpointManager
+
+        mgr = CheckpointManager(local_dir)
+        if mgr.latest_step() is None:
+            print(f"artifact {artifact_name} holds no checkpoint", file=sys.stderr)
+            return False
+        self.state = (
+            mgr.restore_weights(self.state) if weights_only else mgr.restore(self.state)
+        )
+        print(
+            f"resumed from artifact {artifact_name} @ step {int(self.state.step)}",
+            file=sys.stderr,
+        )
+        return True
+
     # -- validation ---------------------------------------------------------
     def validate(
         self,
@@ -144,6 +166,7 @@ class Trainer:
             cfg.dataset.name, cfg.dataset.downsample_by_factor_2
         )
         n_viz_saved = 0
+        viz_panels = []
         # Prefer EMA weights for evaluation when maintained.
         eval_params = (
             self.state.ema_params
@@ -207,11 +230,18 @@ class Trainer:
                     save_png(
                         os.path.join(viz_dir, f"val_{n:04d}.png"), panel
                     )
+                    viz_panels.append(panel)
                     n_viz_saved += 1
             n += 1
             if max_batches is not None and n >= max_batches:
                 break
 
+        if viz_panels:
+            # Media logging through the logger (reference W&B viz callback,
+            # callbacks/detection.py:32-100 via wandb_logger.log_images).
+            self.logger.log_images(
+                "val/predictions", viz_panels, step=int(self.state.step)
+            )
         if not evaluator.has_data():
             return {}
         h, w = cfg.model.backbone.in_res_hw

@@ -45,7 +45,7 @@ from sast_tpu.models.head import inference_outputs
 from sast_tpu.models.losses import yolox_loss
 from sast_tpu.ops.nms import postprocess
 from sast_tpu.training.optimizer import build_optimizer
-from sast_tpu.utils.padding import InputPadder
+from sast_tpu.utils.padding import InputPadder, padding_token_mask
 
 
 class TrainState(train_state.TrainState):
@@ -62,7 +62,14 @@ def create_train_state(
     bb = cfg.model.backbone
     dummy_x = jnp.zeros((1, *bb.in_res_hw, bb.input_channels), jnp.float32)
     dummy_states = zero_states(bb, 1)
-    variables = jax.jit(model.init)(rng, dummy_x, dummy_states)
+    # With masking enabled, init must trace the mask-token path so the
+    # parameter exists (flax compact modules create params lazily).
+    dummy_mask = (
+        jnp.zeros((1, bb.in_res_hw[0] // 4, bb.in_res_hw[1] // 4), bool)
+        if bb.enable_masking
+        else None
+    )
+    variables = jax.jit(model.init)(rng, dummy_x, dummy_states, dummy_mask)
     tx = build_optimizer(cfg.training, learning_rate)
     # EMA must be a distinct buffer copy: sharing params' buffers makes
     # donation fail ("attempt to donate the same buffer twice").
@@ -101,6 +108,7 @@ def _backbone_scan(
     padder: Optional[InputPadder] = None,
     num_channels: Optional[int] = None,
     dropout_rng: Optional[jax.Array] = None,
+    token_mask: Optional[jnp.ndarray] = None,
 ):
     """Scan the recurrent backbone over time; returns stacked FPN-input feats.
 
@@ -141,6 +149,7 @@ def _backbone_scan(
             {"params": params},
             x_t,
             states,
+            token_mask,
             method=YoloXDetector.forward_backbone,
             deterministic=deterministic,
             rngs=rngs,
@@ -163,6 +172,11 @@ def make_train_step(
     num_classes = cfg.model.head.num_classes
     topk = cfg.model.head.simota_topk
     padder = InputPadder(cfg.model.backbone.in_res_hw)
+    token_mask = (
+        padding_token_mask(cfg.dataset.resolution_hw, cfg.model.backbone.in_res_hw)
+        if cfg.model.backbone.enable_masking
+        else None
+    )
     # Stochastic regularization is active iff any rate is nonzero (reference
     # defaults all to 0). The per-step dropout key is derived from the seed
     # and the optimizer step, so resume reproduces the same noise stream.
@@ -190,7 +204,7 @@ def make_train_step(
                 model, params, ev_repr, lstm_states, in_stages,
                 deterministic=not stochastic, padder=padder,
                 num_channels=cfg.model.backbone.input_channels,
-                dropout_rng=dropout_rng,
+                dropout_rng=dropout_rng, token_mask=token_mask,
             )
             # Lane-local gather of labeled frames: (T, B, ...) -> (B, L, ...).
             lane = jnp.arange(B)[:, None]
@@ -265,6 +279,11 @@ def make_eval_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
     pp = cfg.model.postprocess
     num_classes = cfg.model.head.num_classes
     padder = InputPadder(cfg.model.backbone.in_res_hw)
+    token_mask = (
+        padding_token_mask(cfg.dataset.resolution_hw, cfg.model.backbone.in_res_hw)
+        if cfg.model.backbone.enable_masking
+        else None
+    )
 
     def eval_step(variables, batch: Dict[str, jnp.ndarray], lstm_states):
         lstm_states = _reset_states(lstm_states, batch["is_first"])
@@ -277,6 +296,7 @@ def make_eval_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
             model, params, ev_repr, lstm_states, in_stages,
             deterministic=True, padder=padder,
             num_channels=cfg.model.backbone.input_channels,
+            token_mask=token_mask,
         )
         lane = jnp.arange(B)[:, None]
         sel = {

@@ -1,18 +1,20 @@
-"""Metric logging: CSV/JSONL always, Weights & Biases when available.
+"""Metric logging: JSONL always, Weights & Biases when available.
 
 Replaces the reference's forked WandbLogger + CSV logger
 (/root/reference/loggers/wandb_logger.py, validation.py:53) with a small
-multiplexer; W&B is optional (zero-egress environments run CSV-only).
+multiplexer; W&B is optional (zero-egress environments run JSONL-only).
+Covers the reference logger's artifact upload/prune (wandb_logger.py:238-376),
+artifact-based checkpoint resume (:77-87), and image/video media logging
+(:156-198).
 """
 
 from __future__ import annotations
 
-import csv
 import json
 import os
 import sys
 import time
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 
 class MetricLogger:
@@ -86,6 +88,64 @@ class MetricLogger:
                     v.delete()
         except Exception as e:
             print(f"wandb artifact upload failed: {e}", file=sys.stderr)
+
+    def download_checkpoint(self, artifact_name: str) -> Optional[str]:
+        """Artifact-based checkpoint resume (reference wandb_logger.py:77-87):
+        fetch the named model artifact and return the local directory holding
+        the checkpoint files. Returns None when W&B is unavailable."""
+        if self._wandb is None:
+            print(
+                f"wandb inactive; cannot fetch artifact {artifact_name}",
+                file=sys.stderr,
+            )
+            return None
+        try:
+            artifact = self._wandb.use_artifact(artifact_name)
+            return artifact.download()
+        except Exception as e:
+            print(f"wandb artifact download failed: {e}", file=sys.stderr)
+            return None
+
+    def log_images(
+        self,
+        key: str,
+        images: List,
+        step: Optional[int] = None,
+        captions: Optional[List[str]] = None,
+    ) -> None:
+        """Media logging (reference wandb_logger.py:156-168): numpy arrays /
+        file paths become wandb.Image entries. No-op without a W&B run
+        (panels are always also written to disk by the caller)."""
+        if self._wandb is None:
+            return
+        try:
+            import wandb
+
+            caps = captions or [None] * len(images)
+            assert len(caps) == len(images)
+            self._wandb.log(
+                {key: [wandb.Image(im, caption=c) for im, c in zip(images, caps)]},
+                step=step,
+            )
+        except Exception as e:
+            print(f"wandb image logging failed: {e}", file=sys.stderr)
+
+    def log_video(
+        self,
+        key: str,
+        video,
+        step: Optional[int] = None,
+        fps: int = 4,
+    ) -> None:
+        """(T, C, H, W) array or file path (reference wandb_logger.py:170-198)."""
+        if self._wandb is None:
+            return
+        try:
+            import wandb
+
+            self._wandb.log({key: wandb.Video(video, fps=fps)}, step=step)
+        except Exception as e:
+            print(f"wandb video logging failed: {e}", file=sys.stderr)
 
     def close(self) -> None:
         self._jsonl.close()

@@ -33,3 +33,29 @@ class InputPadder:
         assert ht >= h and wt >= w
         pad = [(0, 0)] * (mask.ndim - 2) + [(0, ht - h), (0, wt - w)]
         return jnp.pad(mask, pad, constant_values=True)
+
+
+def padding_token_mask(
+    data_hw: Tuple[int, int], desired_hw: Tuple[int, int]
+) -> "jnp.ndarray | None":
+    """Stride-4 token mask for the static bottom/right input padding.
+
+    True marks tokens that lie entirely inside the zero-padded region; the
+    backbone's stage-0 mask-token path replaces their embeddings with the
+    learned mask token (reference consumer: sast_rnn.py:265-268 via
+    modules/detection.py:124-148 — the reference data pipeline never produces
+    this mask; here the producer is the known static padding geometry).
+
+    Returns None when there is no padding (mask would be all-False).
+    Shape: (1, H/4, W/4), broadcastable over the batch.
+    """
+    (h, w), (ht, wt) = data_hw, desired_hw
+    assert ht >= h and wt >= w
+    if (h, w) == (ht, wt):
+        return None
+    # Tokens partially covering real data stay unmasked.
+    h4_real = -(-h // 4)
+    w4_real = -(-w // 4)
+    mask = jnp.ones((1, ht // 4, wt // 4), bool)
+    mask = mask.at[:, :h4_real, :w4_real].set(False)
+    return mask

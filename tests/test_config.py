@@ -39,3 +39,24 @@ def test_test_config_divisibility():
     for s in cfg.model.backbone.stage_strides:
         assert (h // s) % p0 == 0
         assert (w // s) % p1 == 0
+
+
+def test_labeled_frame_budget_covers_presets():
+    """The static labeled-frame budget L must cover the worst-case number of
+    labeled frames per clip for every shipped recipe (VERDICT r1 weak #4):
+    gen1 has 4 Hz labels over 50 ms reprs (one labeled frame per 5 ticks),
+    gen4 10 Hz over 50 ms (one per 2 ticks); a clip of T ticks can contain
+    ceil(T / spacing) labeled frames. Overflow would silently drop frames
+    from the loss (data/batch.py budget warning)."""
+    import math
+
+    from sast_tpu.config import get_config
+
+    for name, spacing in (("gen1", 5), ("gen4", 2)):
+        for size in ("tiny", "small", "base", "large"):
+            cfg = get_config(name, size)
+            T = cfg.dataset.sequence_length
+            worst = math.ceil(T / spacing)
+            assert cfg.training.max_labeled_frames_per_lane >= worst, (
+                name, size, T, worst, cfg.training.max_labeled_frames_per_lane
+            )

@@ -198,3 +198,76 @@ def test_train_step_stochastic_smoke():
     _, _, m_d = step_d(state_d, batch, lstm0)
     # same params/batch, dropout on vs off -> losses differ
     assert abs(float(m_s["loss"]) - float(m_d["loss"])) > 1e-6
+
+
+def test_padding_token_mask_geometry():
+    from sast_tpu.utils.padding import padding_token_mask
+
+    # gen1: data 240x304 -> model 256x320 (partition_split_32=1)
+    m = padding_token_mask((240, 304), (256, 320))
+    m = np.asarray(m)
+    assert m.shape == (1, 64, 80)
+    assert not m[0, 59, 75]   # last fully-real token
+    assert m[0, 60, 0]        # first padded row
+    assert m[0, 0, 76]        # first padded col
+    assert m.sum() == 64 * 80 - 60 * 76
+    # no padding -> no mask
+    assert padding_token_mask((64, 96), (64, 96)) is None
+
+
+def test_token_mask_end_to_end_train_step():
+    """The static padding mask is produced in make_train_step and flows into
+    the stage-0 mask-token path: the mask token must receive gradient
+    (VERDICT r1 #7; reference consumer modules/detection.py:124-148)."""
+    import jax
+
+    from sast_tpu.config import get_test_config
+    from sast_tpu.models.backbone import zero_states
+    from sast_tpu.training.steps import create_train_state, make_train_step
+
+    cfg = get_test_config()
+    attn = dataclasses.replace(cfg.model.backbone.attention, partition_size=(4, 5))
+    bb = dataclasses.replace(
+        cfg.model.backbone,
+        input_channels=4,
+        in_res_hw=(256, 320),
+        attention=attn,
+        enable_masking=True,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, backbone=bb),
+        dataset=dataclasses.replace(cfg.dataset, name="gen1"),  # data 240x304
+    )
+
+    T, B = 2, 1
+    L = cfg.training.max_labeled_frames_per_lane
+    G = cfg.model.head.max_gt
+    rng = np.random.RandomState(0)
+    # Batch at DATA resolution; the in-scan padder pads to the model res.
+    batch = {
+        "ev_repr": (rng.rand(T, B, 240, 304 * 4) > 0.9).astype(np.uint8),
+        "frame_tidx": np.zeros((B, L), np.int32),
+        "frame_valid": np.array([[True] + [False] * (L - 1)] * B),
+        "gt_boxes": np.tile(
+            np.array([100.0, 100.0, 40.0, 30.0], np.float32), (B, L, G, 1)
+        ),
+        "gt_classes": np.zeros((B, L, G), np.int32),
+        "gt_valid": np.array(
+            [[[True] + [False] * (G - 1)] * L] * B
+        ),
+        "is_first": np.ones((B,), bool),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state, model = create_train_state(cfg, jax.random.PRNGKey(0))
+    tok_before = np.asarray(
+        state.params["backbone"]["stage0"]["mask_token"]
+    ).copy()
+    step = jax.jit(make_train_step(model, cfg))
+    new_state, _, metrics = step(state, batch, zero_states(bb, B))
+    assert np.isfinite(float(metrics["loss"]))
+    tok_after = np.asarray(new_state.params["backbone"]["stage0"]["mask_token"])
+    assert not np.allclose(tok_before, tok_after), (
+        "mask token must receive gradient through the padded region"
+    )

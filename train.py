@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--set", dest="overrides", action="append", metavar="KEY=VALUE")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--resume-only-weights", action="store_true")
+    ap.add_argument(
+        "--resume-wandb-artifact",
+        default=None,
+        metavar="ENTITY/PROJECT/ARTIFACT:ALIAS",
+        help="resume from a W&B model artifact (reference artifact resume)",
+    )
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--val-every", type=int, default=10_000)
@@ -100,8 +106,13 @@ def main() -> None:
         learning_rate=lr,
         mesh=mesh,
     )
-    trainer.maybe_resume(args.resume or args.resume_only_weights,
-                         weights_only=args.resume_only_weights)
+    if args.resume_wandb_artifact:
+        trainer.resume_from_artifact(
+            args.resume_wandb_artifact, weights_only=args.resume_only_weights
+        )
+    else:
+        trainer.maybe_resume(args.resume or args.resume_only_weights,
+                             weights_only=args.resume_only_weights)
 
     # NOTE: like the reference (modules/data/genx.py:161-162), validation
     # during fit streams the *test* split.
