@@ -122,6 +122,13 @@ class AttentionConfig:
     # cond's fusion barrier costs more than adaptive routing saves
     # (XLA branch 0.51 -> 2.36 ms inside cond at the full-model level).
     pallas_density_threshold: float = 1.0
+    # Budget-gather compute sparsity (training + eval): gather the kept-first
+    # K = ceil(budget * num_windows) windows into a compact tensor, run the
+    # batched masked block on it, scatter back — the reference's dynamic
+    # gather (SAST.py:199-255) with a static budget. Exact at any density
+    # (lax.cond falls back to the dense path when selection exceeds the
+    # budget). 0 disables.
+    gather_budget: float = 0.0
     amp: float = 2e-4       # 'AMP' selection amplification constant
     bounce: float = 1e-3    # 'BOUNCE' threshold slack
     norm_eps: float = 1e-5

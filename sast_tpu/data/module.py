@@ -205,6 +205,15 @@ class DataModule:
                 ds.weighted_sampling, ds.num_classes, seed=seed + self.rank,
             )
         else:  # mixed
+            # Static lane split. The reference's mixed mode splits *workers*
+            # between the two pipelines and merges their sub-batches
+            # (modules/detection.py merge_mixed_batches); here the split is
+            # by batch lanes, computed once from the weights. Multi-worker
+            # parallelism is orthogonal: each sampler already draws from the
+            # thread-parallel reader pool, and multi-HOST sharding happens
+            # one level up (rank/world in _readers + per-rank seeds), so
+            # there is no per-worker state to key — lanes are continuous
+            # streams by construction (data/streaming.py).
             total_w = ds.mixed_w_stream + ds.mixed_w_random
             b_stream = max(1, min(B - 1, round(B * ds.mixed_w_stream / total_w)))
             b_random = B - b_stream

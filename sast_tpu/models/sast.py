@@ -180,6 +180,7 @@ class MaskedSparseAttention(nn.Module):
 
     use_pallas: bool = False
     pallas_threshold: float = 0.4  # window-density crossover for lax.cond
+    gather_budget: float = 0.0  # static kept-window budget fraction (0 = off)
 
     @nn.compact
     def __call__(
@@ -217,28 +218,36 @@ class MaskedSparseAttention(nn.Module):
         # projection (reference MLP: GLU -> Dropout -> Linear, ops.py:165-170).
         mlp_drop = nn.Dropout(rate=self.drop_mlp, name="mlp_drop")
 
-        # ---- XLA masked path -------------------------------------------------
-        def xla_path(_):
-            # Selected tokens receive norm2 before attention (SAST.py:214);
-            # they are also the attention shortcut. Others stay at y.
-            z = jnp.where(keep, _layernorm(y, n2_scale, n2_bias, self.norm_eps), y)
+        # ---- XLA masked block math (layout-generic) --------------------------
+        def block_math(y_in, tk):
+            """The masked transformer block on any (B', N', hw, C) layout.
+
+            y_in is norm1-ed input; tk its (B', N', hw) token-keep mask.
+            Output equals y_in at unselected tokens. Used directly by the
+            full-layout path and on a gathered (1, K, hw, C) compact tensor
+            by the budget-gather path below.
+            """
+            k4 = tk[..., None]
+            z = jnp.where(
+                k4, _layernorm(y_in, n2_scale, n2_bias, self.norm_eps), y_in
+            )
 
             zc = z.astype(dt)
             qkv = zc @ w_qkv.astype(dt)
             if b_qkv is not None:
                 qkv = qkv + b_qkv.astype(dt)
-            qkv = qkv.reshape(B, N, hw, 3, num_heads, self.dim_head)
+            qkv = qkv.reshape(*qkv.shape[:3], 3, num_heads, self.dim_head)
             q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
             scale = self.dim_head ** -0.5
-            # (B, N, heads, hw_q, hw_k)
+            # (B', N', heads, hw_q, hw_k)
             logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q, k) * scale
-            key_mask = token_keep[:, :, None, None, :]  # column (key) mask
+            key_mask = tk[:, :, None, None, :]  # column (key) mask
             logits = jnp.where(
                 key_mask, logits, jnp.asarray(MASK_VALUE, logits.dtype)
             )
             attn = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(B, N, hw, C)
+            out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(z.shape)
             out = out.astype(dt) @ w_proj.astype(dt)
             if b_proj is not None:
                 out = out + b_proj.astype(dt)
@@ -259,22 +268,68 @@ class MaskedSparseAttention(nn.Module):
                 # Context Broadcasting (SAST.py:239-246): mix each selected
                 # token's MLP output with the mean over *all* token slots
                 # (unselected contribute zero): mean = sum(selected)/(N*hw).
-                masked = jnp.where(keep, mlp_out, 0.0)
+                # Only meaningful on the full (B, N) layout — gather/pallas
+                # paths are guarded off when enable_cb is set.
+                masked = jnp.where(k4, mlp_out, 0.0)
                 mean = jnp.mean(masked, axis=(1, 2), keepdims=True)
                 mlp_out = 0.5 * masked + 0.5 * mean
 
             h2 = h + dp2(ls2.astype(h.dtype) * mlp_out, deterministic=deterministic)
-            return jnp.where(keep, h2, y)
+            return jnp.where(k4, h2, y_in)
 
-        # ---- fused Pallas window-skipping path (inference) ------------------
+        def xla_path(_):
+            return block_math(y, token_keep)
+
+        # ---- budget-gather path (training compute sparsity) ------------------
+        # The reference trains through dynamic gathers of kept windows
+        # (SAST.py:199-255). TPU-native equivalent: a STATIC budget
+        # K = ceil(gather_budget * M) and the kept-first argsort permutation;
+        # gather the first K window ids into a compact (1, K, hw, C) tensor,
+        # run the identical batched masked block math (full MXU utilization,
+        # plain XLA autodiff), and permutation-scatter back. Unkept windows
+        # inside the prefix pass through unchanged (all tokens masked), so
+        # results are exact whenever n_win <= K; lax.cond falls back to the
+        # dense path above the budget, keeping semantics exact at any density.
+        use_gather = (
+            self.gather_budget > 0.0
+            and win_keep is not None
+            and not self.enable_cb
+            and (deterministic or (self.drop_path == 0.0 and self.drop_mlp == 0.0))
+        )
+        if use_gather:
+            M = B * N
+            K = max(1, min(M, int(math.ceil(self.gather_budget * M))))
+            y_flat = y.reshape(M, hw, C)
+            tk_flat = token_keep.reshape(M, hw)
+            wk_flat = win_keep.reshape(M)
+            n_win = jnp.sum(wk_flat.astype(jnp.int32))
+            order = jnp.argsort(~wk_flat, stable=True)[:K].astype(jnp.int32)
+
+            def gathered(_):
+                out_g = block_math(
+                    y_flat[order][None], tk_flat[order][None]
+                )[0]
+                return y_flat.at[order].set(out_g).reshape(B, N, hw, C)
+
+            if K == M:
+                return gathered(None)
+            return jax.lax.cond(n_win <= K, gathered, xla_path, None)
+
+        # ---- fused Pallas window-skipping path -------------------------------
         # Dispatched at runtime by scene density: the kernel's FLOPs scale
         # with kept windows but its per-window overhead loses to the batched
         # XLA path above the threshold, so lax.cond picks per call.
+        # Trainable: sparse_window_block carries a custom VJP whose backward
+        # runs over the same kept-first work list (ops/pallas/sparse_block.py),
+        # so it is valid under jax.grad — but only when the stochastic
+        # regularizers are off (the kernel implements neither drop_path nor
+        # the MLP dropout).
         use_pallas = (
             self.use_pallas
             and win_keep is not None
             and not self.enable_cb
             and self.drop_path == 0.0
+            and self.drop_mlp == 0.0
         )
         if not use_pallas:
             return xla_path(None)
@@ -332,6 +387,7 @@ class SASTBlock(nn.Module):
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
     pallas_threshold: float = 0.4  # window-density crossover for lax.cond
+    gather_budget: float = 0.0  # static kept-window budget fraction (0 = off)
 
     @nn.compact
     def __call__(
@@ -362,6 +418,7 @@ class SASTBlock(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_threshold=cfg.pallas_density_threshold,
+            gather_budget=cfg.gather_budget,
         )
 
         x = x + pos_emb.astype(x.dtype)

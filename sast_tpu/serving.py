@@ -47,7 +47,7 @@ class StreamingDetector:
         max_events: int = 200_000,
         bins: int = 10,
         count_cutoff: int = 10,
-        use_pallas: bool = False,
+        use_pallas: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.max_events = max_events
@@ -55,6 +55,10 @@ class StreamingDetector:
         assert bb.input_channels == 2 * bins, (bb.input_channels, bins)
         self.native_hw = cfg.dataset.resolution_hw
         self.variables = variables
+        # Default: window-skipping kernel on TPU, XLA masked path elsewhere
+        # (the kernel is Mosaic-only; CPU runs would need interpret mode).
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         self.model = YoloXDetector(cfg.model, use_pallas=use_pallas)
         dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
         self.states = zero_states(bb, 1, dtype=dtype)

@@ -49,6 +49,7 @@ class Trainer:
         val_every: Optional[int] = 10_000,
         ckpt_every: Optional[int] = None,
         use_pallas_eval: bool = False,
+        use_pallas_train: bool = False,
         learning_rate: Optional[float] = None,
         mesh=None,
     ):
@@ -67,8 +68,11 @@ class Trainer:
         self.ckpt_every = ckpt_every
 
         seed = cfg.training.seed if cfg.training.seed is not None else 0
+        # use_pallas_train runs the sparse kernel under jax.grad through its
+        # custom VJP (backward over the same kept-first work list).
         self.state, self.model = create_train_state(
-            cfg, jax.random.PRNGKey(seed), learning_rate=learning_rate
+            cfg, jax.random.PRNGKey(seed), learning_rate=learning_rate,
+            use_pallas=use_pallas_train,
         )
         self.mesh = mesh
         if mesh is not None:

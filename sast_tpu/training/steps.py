@@ -57,8 +57,13 @@ def create_train_state(
     cfg: ExperimentConfig,
     rng: jax.Array,
     learning_rate: Optional[float] = None,
+    use_pallas: bool = False,
 ) -> Tuple[TrainState, YoloXDetector]:
-    model = YoloXDetector(cfg.model)
+    """use_pallas builds the model on the sparse window-skipping kernel —
+    valid for training since the kernel carries a custom VJP (the guard in
+    MaskedSparseAttention falls back to the XLA path if stochastic
+    regularizers are configured, which the kernel does not implement)."""
+    model = YoloXDetector(cfg.model, use_pallas=use_pallas)
     bb = cfg.model.backbone
     dummy_x = jnp.zeros((1, *bb.in_res_hw, bb.input_channels), jnp.float32)
     dummy_states = zero_states(bb, 1)

@@ -14,10 +14,14 @@ if "--xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+# SAST_TPU_TESTS=1 keeps the real backend so the opt-in TPU regression
+# tests (tests/test_tpu_pallas.py) can touch hardware; everything else in
+# the suite runs on the virtual-device CPU platform.
+if not os.environ.get("SAST_TPU_TESTS"):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -80,9 +80,9 @@ def test_trainer_plumbs_scaled_lr(monkeypatch, tmp_path):
     captured = {}
     orig = loop_mod.create_train_state
 
-    def spy(cfg, rng, learning_rate=None):
+    def spy(cfg, rng, learning_rate=None, **kw):
         captured["lr"] = learning_rate
-        return orig(cfg, rng, learning_rate=learning_rate)
+        return orig(cfg, rng, learning_rate=learning_rate, **kw)
 
     monkeypatch.setattr(loop_mod, "create_train_state", spy)
     cfg = get_test_config()

@@ -47,6 +47,11 @@ def main() -> None:
         help="resume from a W&B model artifact (reference artifact resume)",
     )
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument(
+        "--sparse-kernel-train", action="store_true",
+        help="train through the Pallas window-skipping kernel (custom VJP; "
+        "TPU only, requires drop_path/drop_mlp == 0)",
+    )
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--val-every", type=int, default=10_000)
     ap.add_argument("--log-every", type=int, default=50)
@@ -103,6 +108,7 @@ def main() -> None:
         use_wandb=args.wandb,
         log_every=args.log_every,
         val_every=args.val_every,
+        use_pallas_train=args.sparse_kernel_train,
         learning_rate=lr,
         mesh=mesh,
     )
