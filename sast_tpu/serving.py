@@ -55,10 +55,14 @@ class StreamingDetector:
         assert bb.input_channels == 2 * bins, (bb.input_channels, bins)
         self.native_hw = cfg.dataset.resolution_hw
         self.variables = variables
-        # Default: window-skipping kernel on TPU, XLA masked path elsewhere
-        # (the kernel is Mosaic-only; CPU runs would need interpret mode).
+        # Default: the XLA masked path. Clean (fetch-free) measurement shows
+        # the batched dense formulation beats the window-skipping kernel at
+        # every density on v5e (scripts/bench_sparse_layer.py; the round-1
+        # "kernel wins below 40%" was a degraded-dispatch artifact, see
+        # docs/DESIGN.md section 6). The kernel stays available for regimes
+        # with much larger windows.
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False
         self.model = YoloXDetector(cfg.model, use_pallas=use_pallas)
         dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
         self.states = zero_states(bb, 1, dtype=dtype)

@@ -122,8 +122,8 @@ def _backbone_scan(
     + pad happen INSIDE the scan so only one timestep materializes at fp32.
     The scan step is rematerialized with the ``dots_saveable`` policy:
     matmul/conv outputs are saved, elementwise chains recomputed — 20x faster
-    than full rematerialization on v5e (12.9 ms vs 258 ms per gen1-base
-    B=8 T=21 step) at acceptable memory.
+    than full rematerialization on v5e (fetch-clean: 6.3 ms per gen1-base
+    B=8 T=21 step; full remat measured 258 ms) at acceptable memory.
 
     When ``dropout_rng`` is given (and deterministic=False), a fresh dropout
     key is split off the scan carry each timestep, so drop_path /

@@ -80,16 +80,21 @@ def main() -> None:
         f"{'sparsity':>9} {'P(mean)':>9} {'xla ms':>9} {'pallas ms':>10} "
         f"{'gather ms':>10}"
     )
+    rows = []
     for sparsity in (1.0, 0.999, 0.995, 0.99, 0.9):
         batch_np = synthetic_train_batch(
             cfg, np.random.RandomState(0), batch_size=args.batch,
             seq_len=args.seq, sparsity=sparsity,
         )
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-        times, P = {}, None
+        times = {}
         dt = (
             jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
         )
+        # CRITICAL (this environment): any device->host fetch permanently
+        # flips the process into per-execution sync mode (~60x for this
+        # step), so nothing is fetched during timing — P values are kept as
+        # device arrays and read back only after ALL cells have been timed.
         for name in steps:
             state0, step = steps[name]
             lstm = zero_states(cfg.model.backbone, args.batch, dtype=dt)
@@ -104,11 +109,14 @@ def main() -> None:
                 jax.block_until_ready(m["loss"])
                 best = min(best, (time.perf_counter() - t0) / args.iters)
             times[name] = best * 1e3
-            P = float(m["P"])
-            del st, lstm, m  # free donated-state lineage before the next cell
+            P = m["P"]  # device array; fetched after all timing
+            del st, lstm, m
         del batch
+        rows.append((sparsity, P, dict(times)))
+
+    for sparsity, P, times in rows:
         print(
-            f"{sparsity:>9.3f} {P:>9.1f} {times['xla']:>9.2f} "
+            f"{sparsity:>9.3f} {float(P):>9.1f} {times['xla']:>9.2f} "
             f"{times['pallas']:>10.2f} {times['gather']:>10.2f}"
         )
         sys.stdout.flush()

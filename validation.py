@@ -23,13 +23,13 @@ def main() -> None:
     ap.add_argument("--split", choices=("val", "test"), default="val")
     ap.add_argument("--set", dest="overrides", action="append", metavar="KEY=VALUE")
     ap.add_argument("--max-batches", type=int, default=None)
-    # The sparse window-skipping kernel is the default eval path on TPU
-    # (VERDICT r1: density dispatch on by default in eval). The kernel is
-    # Mosaic-only, so off-TPU the default falls back to the XLA path.
+    # Clean measurement (scripts/bench_sparse_layer.py) shows the batched
+    # masked XLA path beats the window-skipping kernel at every density on
+    # v5e, so the kernel stays opt-in (docs/DESIGN.md section 6 explains why
+    # round-1 measured the opposite under a degraded-dispatch mode).
     ap.add_argument("--sparse-kernel", action=argparse.BooleanOptionalAction,
-                    default=None,
-                    help="use the Pallas window-skipping kernel "
-                    "(default: on when running on TPU)")
+                    default=False,
+                    help="use the Pallas window-skipping kernel (TPU only)")
     args = ap.parse_args()
 
     from sast_tpu.utils.cache import enable_compilation_cache
@@ -48,15 +48,8 @@ def main() -> None:
     overrides.setdefault("model.postprocess.confidence_threshold", 0.001)
     cfg = get_config(args.dataset, args.size, **overrides)
 
-    import jax
-
-    sparse = (
-        args.sparse_kernel
-        if args.sparse_kernel is not None
-        else jax.default_backend() == "tpu"
-    )
     trainer = Trainer(cfg, workdir="/tmp/sast_val", val_every=None,
-                      use_pallas_eval=sparse)
+                      use_pallas_eval=args.sparse_kernel)
     if args.ckpt.endswith(".ckpt") or args.ckpt.endswith(".pth"):
         from sast_tpu.checkpoint.torch_convert import load_torch_checkpoint
 
