@@ -266,6 +266,10 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         t_last = time.time()
         step = int(self.state.step)
+        # Gradient-flow history for the periodic figure (reference
+        # callbacks/gradflow.py): per-component grad norms at log points.
+        gf_steps: list = []
+        gf_series: Dict[str, list] = {}
 
         for batch in train_batches:
             if step >= max_steps:
@@ -288,6 +292,11 @@ class Trainer:
                 log = {f"train/{k}": v for k, v in metrics.items()}
                 log.update({"train/SN": sn, "train/step_time_s": dt})
                 self.logger.log(log, step)
+                gf_steps.append(step)
+                for k, v in metrics.items():
+                    if k.startswith("grad_norm"):
+                        gf_series.setdefault(k.replace("grad_norm/", "").replace(
+                            "grad_norm", "total"), []).append(v)
                 print(
                     f"step {step}  loss {metrics['loss']:.3f}  "
                     f"SN {sn:.0f}  {dt * 1000:.0f} ms/step",
@@ -301,6 +310,14 @@ class Trainer:
                 and step % self.val_every == 0
             )
             if run_val:
+                if gf_steps:
+                    from sast_tpu.utils.viz import render_gradflow, save_png
+
+                    gf_img = render_gradflow(gf_steps, gf_series)
+                    gf_dir = os.path.join(self.workdir, "viz")
+                    os.makedirs(gf_dir, exist_ok=True)
+                    save_png(os.path.join(gf_dir, "gradflow.png"), gf_img)
+                    self.logger.log_images("train/gradflow", [gf_img], step)
                 val_metrics = self.validate(
                     eval_loader_fn(), max_batches=eval_max_batches
                 )

@@ -119,3 +119,34 @@ def save_png(path: str, img: np.ndarray) -> None:
     )
     with open(path, "wb") as f:
         f.write(png)
+
+
+def render_gradflow(
+    steps: "list[int]", series: "dict[str, list[float]]"
+) -> np.ndarray:
+    """Gradient-flow figure: per-component gradient-norm curves over training
+    (the reference's gradflow callback, callbacks/gradflow.py, which plots
+    average per-layer gradients each epoch). Returns an HxWx3 uint8 image.
+
+    ``series`` maps component name -> norm history aligned with ``steps``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 4.5), dpi=100)
+    for name, values in sorted(series.items()):
+        n = min(len(steps), len(values))
+        ax.plot(steps[:n], values[:n], label=name, linewidth=1.2)
+    ax.set_yscale("log")
+    ax.set_xlabel("step")
+    ax.set_ylabel("grad norm")
+    ax.set_title("gradient flow")
+    ax.legend(fontsize=8, loc="upper right")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img

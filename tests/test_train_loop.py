@@ -115,3 +115,21 @@ def test_validate_viz_panel_indexing(tiny_cfg, tmp_path, monkeypatch):
     got = captured["ev"]
     assert got.shape == exp.shape
     np.testing.assert_array_equal(got, exp)
+
+
+def test_fit_renders_gradflow_at_validation(tiny_cfg, tmp_path):
+    """The gradient-flow figure (reference callbacks/gradflow.py) is rendered
+    and saved at validation boundaries during fit."""
+    import os
+
+    dm = DataModule(tiny_cfg)
+    trainer = Trainer(
+        tiny_cfg, workdir=str(tmp_path / "gf"), log_every=1, val_every=2
+    )
+    trainer.fit(
+        dm.train_batches(prefetch=False),
+        eval_loader_fn=lambda: dm.eval_batches("val", prefetch=False),
+        max_steps=2,
+        eval_max_batches=1,
+    )
+    assert os.path.isfile(str(tmp_path / "gf" / "viz" / "gradflow.png"))

@@ -70,3 +70,24 @@ def test_input_padder():
     pm = p.pad_token_mask(mask)
     assert pm.shape == (2, 4, 6)
     assert bool(pm[:, 3:, :].all())  # padded region masked True
+
+
+def test_render_gradflow():
+    """Gradflow figure (reference callbacks/gradflow.py): valid RGB image
+    from per-component grad-norm histories."""
+    import numpy as np
+
+    from sast_tpu.utils.viz import render_gradflow
+
+    steps = [50, 100, 150]
+    series = {
+        "backbone": [10.0, 5.0, 2.0],
+        "fpn": [3.0, 2.0, 1.5],
+        "head": [1.0, 0.8, 0.5],
+        "total": [11.0, 6.0, 3.0],
+    }
+    img = render_gradflow(steps, series)
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    assert img.shape[0] > 100 and img.shape[1] > 100
+    # non-blank: the plot draws colored curves on white
+    assert img.min() < 250
