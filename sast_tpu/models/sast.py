@@ -328,8 +328,10 @@ class MaskedSparseAttention(nn.Module):
             self.use_pallas
             and win_keep is not None
             and not self.enable_cb
-            and self.drop_path == 0.0
-            and self.drop_mlp == 0.0
+            and (
+                deterministic
+                or (self.drop_path == 0.0 and self.drop_mlp == 0.0)
+            )
         )
         if not use_pallas:
             return xla_path(None)

@@ -61,8 +61,10 @@ def maybe_initialize_distributed() -> bool:
 
     Triggered by the standard JAX coordinator env
     (``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID``)
-    or by a TPU-pod environment where initialize() self-discovers. Returns
-    True if initialize() was called.
+    — or, on a TPU pod slice (detected through the libtpu worker env that
+    every standard pod launcher sets), by the argless
+    ``jax.distributed.initialize()``, which self-discovers the coordinator.
+    Returns True if initialize() was called.
     """
     import os
 
@@ -74,5 +76,15 @@ def maybe_initialize_distributed() -> bool:
             num_processes=int(nproc),
             process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
         )
+        return True
+    # TPU pod slice launched the standard way (gcloud / xpk / ray set
+    # TPU_WORKER_HOSTNAMES + TPU_WORKER_ID on every worker): argless
+    # initialize() self-discovers coordinator/process-id. Only attempt it
+    # when the env names MULTIPLE workers — a single-host TPU VM also sets
+    # these vars, and initialize() there is pointless (and, on
+    # tunnel-attached single-chip setups, can hang).
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        jax.distributed.initialize()
         return True
     return False

@@ -47,7 +47,13 @@ class StreamingDetector:
         max_events: int = 200_000,
         bins: int = 10,
         count_cutoff: int = 10,
-        use_pallas: Optional[bool] = None,
+        # XLA masked path by default: clean (fetch-free) measurement shows
+        # the batched dense formulation beats the window-skipping kernel at
+        # every density on v5e (scripts/bench_sparse_layer.py; the round-1
+        # "kernel wins below 40%" was a degraded-dispatch artifact, see
+        # docs/DESIGN.md section 6). The kernel stays available for regimes
+        # with much larger windows.
+        use_pallas: bool = False,
     ):
         self.cfg = cfg
         self.max_events = max_events
@@ -55,14 +61,6 @@ class StreamingDetector:
         assert bb.input_channels == 2 * bins, (bb.input_channels, bins)
         self.native_hw = cfg.dataset.resolution_hw
         self.variables = variables
-        # Default: the XLA masked path. Clean (fetch-free) measurement shows
-        # the batched dense formulation beats the window-skipping kernel at
-        # every density on v5e (scripts/bench_sparse_layer.py; the round-1
-        # "kernel wins below 40%" was a degraded-dispatch artifact, see
-        # docs/DESIGN.md section 6). The kernel stays available for regimes
-        # with much larger windows.
-        if use_pallas is None:
-            use_pallas = False
         self.model = YoloXDetector(cfg.model, use_pallas=use_pallas)
         dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
         self.states = zero_states(bb, 1, dtype=dtype)

@@ -97,12 +97,20 @@ class Trainer:
     def _put_batch(self, device_batch: dict) -> dict:
         """Move a host batch to device(s). With a mesh, ev_repr (T, B, ...)
         shards on axis 1 and every other leaf on axis 0 — XLA inserts the
-        gradient psum over the mesh during partitioning."""
+        gradient psum over the mesh during partitioning.
+
+        Multi-host: each process holds only ITS rank's lanes (DataModule
+        shards by rank/world), so the local array is this process's shard of
+        the global batch — ``make_array_from_process_local_data`` assembles
+        the global sharded array from it (global batch = world * local B).
+        A plain ``device_put`` with the global sharding would instead treat
+        the local batch as the global one and drop data. Single-process, the
+        two are equivalent; the multi-host path shares this code."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in device_batch.items()}
         return {
-            k: jax.device_put(
-                np.asarray(v), self._sh_b1 if k == "ev_repr" else self._sh_b0
+            k: jax.make_array_from_process_local_data(
+                self._sh_b1 if k == "ev_repr" else self._sh_b0, np.asarray(v)
             )
             for k, v in device_batch.items()
         }
@@ -110,7 +118,12 @@ class Trainer:
     def _put_states(self, lstm):
         if self.mesh is None:
             return lstm
-        return jax.device_put(lstm, self._sh_b0)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                self._sh_b0, np.asarray(x)
+            ),
+            lstm,
+        )
 
     # -- checkpointing -----------------------------------------------------
     @property

@@ -333,12 +333,21 @@ def make_inference_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable
     states are donatable for zero-copy carry."""
     pp = cfg.model.postprocess
     num_classes = cfg.model.head.num_classes
+    # Same padded-region mask token substitution as train/eval — without it
+    # the deployed path would see raw zero-pad embeddings the model never
+    # trained on (train-inference skew at the bottom/right borders).
+    token_mask = (
+        padding_token_mask(cfg.dataset.resolution_hw, cfg.model.backbone.in_res_hw)
+        if cfg.model.backbone.enable_masking
+        else None
+    )
 
     def infer_step(variables, x: jnp.ndarray, lstm_states):
         feats, new_states, p = model.apply(
             {"params": variables["params"]},
             x,
             lstm_states,
+            token_mask,
             method=YoloXDetector.forward_backbone,
         )
         outputs = model.apply(

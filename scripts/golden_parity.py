@@ -201,6 +201,9 @@ def run_parity(cfg, B: int = 2, T: int = 3, seed: int = 0, sparsity: float = 0.9
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--gen1", action="store_true", help="gen1-base shapes (slow)")
+    ap.add_argument("--gen4", action="store_true",
+                    help="gen4-base shapes: 1 Mpx resolution, partition "
+                    "split 2 (slower)")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
@@ -213,10 +216,10 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    if args.gen1:
+    if args.gen1 or args.gen4:
         from sast_tpu.config import get_config
 
-        cfg = get_config("gen1", "base")
+        cfg = get_config("gen4" if args.gen4 else "gen1", "base")
         import dataclasses
 
         cfg = dataclasses.replace(

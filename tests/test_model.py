@@ -428,3 +428,84 @@ def test_gather_budget_matches_xla_forward_and_grads():
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
                 err_msg=f"grads n_kept={n_kept}",
             )
+
+
+def test_inference_step_applies_token_mask():
+    """make_inference_step must substitute the mask token at padded regions
+    exactly like train/eval (code-review r2: the deployed path previously fed
+    raw zero-pad embeddings — train-inference skew)."""
+    import jax
+
+    from sast_tpu.config import get_test_config
+    from sast_tpu.models.backbone import zero_states
+    from sast_tpu.training.steps import create_train_state, make_inference_step
+
+    cfg = get_test_config()
+    attn = dataclasses.replace(cfg.model.backbone.attention, partition_size=(4, 5))
+    bb = dataclasses.replace(
+        cfg.model.backbone,
+        input_channels=4,
+        in_res_hw=(256, 320),
+        attention=attn,
+        enable_masking=True,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, backbone=bb),
+        dataset=dataclasses.replace(cfg.dataset, name="gen1"),  # data 240x304
+    )
+
+    state, model = create_train_state(cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    infer = jax.jit(make_inference_step(model, cfg))
+
+    rng = np.random.RandomState(0)
+    # Model-resolution input whose padded band is zeros (as the padder makes).
+    x = np.zeros((1, 256, 320, 4), np.float32)
+    x[:, :240, :304] = (rng.rand(1, 240, 304, 4) > 0.9) * 3.0
+    states = zero_states(bb, 1)
+    dets, _, _ = infer(variables, jnp.asarray(x), states)
+
+    # Recompute preds manually WITH and WITHOUT the mask; infer_step's
+    # scores must equal the masked variant and differ from the unmasked one.
+    from sast_tpu.models.detector import YoloXDetector
+    from sast_tpu.models.head import inference_outputs
+    from sast_tpu.ops.nms import postprocess
+    from sast_tpu.utils.padding import padding_token_mask
+
+    pp = cfg.model.postprocess
+
+    def manual(tm):
+        feats, _, _ = model.apply(
+            {"params": state.params}, jnp.asarray(x), states, tm,
+            method=YoloXDetector.forward_backbone,
+        )
+        outputs = model.apply(
+            variables, feats, train=False, method=YoloXDetector.forward_detect
+        )
+        dets_m = postprocess(
+            inference_outputs(outputs["preds"]),
+            num_classes=cfg.model.head.num_classes,
+            conf_threshold=pp.confidence_threshold,
+            nms_threshold=pp.nms_threshold,
+            pre_nms_topk=pp.pre_nms_topk,
+            max_detections=pp.max_detections,
+        )
+        return dets_m, outputs["preds"]
+
+    tm = padding_token_mask(cfg.dataset.resolution_hw, bb.in_res_hw)
+    with_mask, preds_mask = manual(tm)
+    without_mask, preds_nomask = manual(None)
+    np.testing.assert_allclose(
+        np.asarray(dets["scores"]), np.asarray(with_mask["scores"]),
+        rtol=1e-5, atol=1e-6,
+        err_msg="infer_step must produce the masked-path detections",
+    )
+    # The raw predictions must differ (post-NMS top-K can hide the padded
+    # band at random init; the dense preds cannot).
+    diff = float(
+        jnp.abs(
+            preds_mask.astype(jnp.float32) - preds_nomask.astype(jnp.float32)
+        ).max()
+    )
+    assert diff > 1e-6, "mask token substitution must change raw predictions"

@@ -113,9 +113,17 @@ def main() -> None:
         mesh=mesh,
     )
     if args.resume_wandb_artifact:
-        trainer.resume_from_artifact(
+        ok = trainer.resume_from_artifact(
             args.resume_wandb_artifact, weights_only=args.resume_only_weights
         )
+        if not ok:
+            # Starting from scratch when the user asked to continue a run
+            # would silently overwrite the very checkpoints they wanted.
+            sys.exit(
+                f"failed to resume from W&B artifact "
+                f"{args.resume_wandb_artifact!r} (is --wandb set and the "
+                "artifact reachable?)"
+            )
     else:
         trainer.maybe_resume(args.resume or args.resume_only_weights,
                              weights_only=args.resume_only_weights)
