@@ -249,6 +249,12 @@ class TrainingConfig:
     max_labeled_frames_per_lane: int = 5
     ema_decay: float = 0.0  # 0 disables EMA
     seed: Optional[int] = None
+    # BPTT rematerialization policy for the backbone scan step:
+    #   "dots" — jax.checkpoint with dots_saveable (save matmul/conv outputs,
+    #            recompute elementwise chains); the memory/speed default
+    #   "none" — no remat (save everything); fastest when HBM allows
+    #   "full" — full remat (save nothing); minimum memory, ~40x slower
+    remat_policy: str = "dots"
 
 
 @dataclass(frozen=True)

@@ -45,6 +45,7 @@ class Trainer:
         cfg: ExperimentConfig,
         workdir: str,
         use_wandb: bool = False,
+        wandb_run_id=None,
         log_every: int = 50,
         val_every: Optional[int] = 10_000,
         ckpt_every: Optional[int] = None,
@@ -62,7 +63,9 @@ class Trainer:
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
-        self.logger = MetricLogger(workdir, use_wandb=use_wandb)
+        self.logger = MetricLogger(
+            workdir, use_wandb=use_wandb, run_id=wandb_run_id
+        )
         self.log_every = log_every
         self.val_every = val_every
         self.ckpt_every = ckpt_every

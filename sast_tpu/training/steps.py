@@ -114,6 +114,7 @@ def _backbone_scan(
     num_channels: Optional[int] = None,
     dropout_rng: Optional[jax.Array] = None,
     token_mask: Optional[jnp.ndarray] = None,
+    remat_policy: str = "dots",
 ):
     """Scan the recurrent backbone over time; returns stacked FPN-input feats.
 
@@ -133,9 +134,16 @@ def _backbone_scan(
     """
     thread_rng = dropout_rng is not None
 
-    @functools.partial(
-        jax.checkpoint, policy=jax.checkpoint_policies.dots_saveable
-    )
+    def _remat(f):
+        if remat_policy == "none":
+            return f  # save everything; fastest when HBM allows
+        if remat_policy == "full":
+            return jax.checkpoint(f)  # save nothing; minimum memory
+        return jax.checkpoint(
+            f, policy=jax.checkpoint_policies.dots_saveable
+        )
+
+    @_remat
     def step(carry, x_t):
         if thread_rng:
             states, key = carry
@@ -210,6 +218,7 @@ def make_train_step(
                 deterministic=not stochastic, padder=padder,
                 num_channels=cfg.model.backbone.input_channels,
                 dropout_rng=dropout_rng, token_mask=token_mask,
+                remat_policy=cfg.training.remat_policy,
             )
             # Lane-local gather of labeled frames: (T, B, ...) -> (B, L, ...).
             lane = jnp.arange(B)[:, None]

@@ -25,7 +25,11 @@ class MetricLogger:
         project: str = "sast_tpu",
         group: Optional[str] = None,
         config: Optional[dict] = None,
+        run_id: Optional[str] = None,
     ):
+        """``run_id`` resumes an existing W&B run under the same id — the
+        reference's ``wandb.wandb_runpath`` workflow (loggers/utils.py:14-19:
+        the runpath's last component becomes the id, resume='allow')."""
         os.makedirs(log_dir, exist_ok=True)
         self.log_dir = log_dir
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
@@ -36,7 +40,8 @@ class MetricLogger:
                 import wandb
 
                 self._wandb = wandb.init(
-                    project=project, group=group, config=config or {}
+                    project=project, group=group, config=config or {},
+                    id=run_id, resume="allow" if run_id else None,
                 )
             except Exception as e:  # zero-egress or wandb missing
                 print(f"wandb unavailable ({e}); logging to CSV only", file=sys.stderr)

@@ -53,8 +53,13 @@ class _FakeRun:
 @pytest.fixture
 def fake_wandb(monkeypatch):
     run = _FakeRun()
+
+    def _init(**kw):
+        run.init_kwargs = kw
+        return run
+
     mod = types.ModuleType("wandb")
-    mod.init = lambda **kw: run
+    mod.init = _init
     mod.Artifact = _FakeArtifact
     mod.Image = lambda im, caption=None: ("image", np.asarray(im).shape, caption)
     mod.Video = lambda v, fps=4: ("video", fps)
@@ -121,3 +126,17 @@ def test_smoothed_value():
     s = SmoothedValue()
     assert s.update(2.0) == 2.0
     assert s.update(4.0) == 3.0
+
+
+def test_wandb_run_id_resume(tmp_path, fake_wandb):
+    """run_id plumbs into wandb.init(id=..., resume='allow') — the
+    reference's wandb_runpath resume workflow (loggers/utils.py:14-19)."""
+    from sast_tpu.utils.logging import MetricLogger
+
+    MetricLogger(str(tmp_path), use_wandb=True, run_id="abc123")
+    assert fake_wandb.init_kwargs["id"] == "abc123"
+    assert fake_wandb.init_kwargs["resume"] == "allow"
+
+    MetricLogger(str(tmp_path), use_wandb=True)
+    assert fake_wandb.init_kwargs["id"] is None
+    assert fake_wandb.init_kwargs["resume"] is None

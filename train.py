@@ -48,6 +48,12 @@ def main() -> None:
     )
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument(
+        "--wandb-runpath", default=None,
+        help="existing W&B runpath (entity/project/run_id) to resume logging "
+        "into; the last component becomes the run id (reference "
+        "loggers/utils.py:14-19)",
+    )
+    ap.add_argument(
         "--sparse-kernel-train", action="store_true",
         help="train through the Pallas window-skipping kernel (custom VJP; "
         "TPU only, requires drop_path/drop_mlp == 0)",
@@ -106,6 +112,11 @@ def main() -> None:
         cfg,
         workdir=args.workdir,
         use_wandb=args.wandb,
+        wandb_run_id=(
+            args.wandb_runpath.rstrip("/").split("/")[-1]
+            if args.wandb_runpath
+            else None
+        ),
         log_every=args.log_every,
         val_every=args.val_every,
         use_pallas_train=args.sparse_kernel_train,
