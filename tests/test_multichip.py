@@ -91,3 +91,50 @@ def test_trainer_fit_with_mesh(tmp_path):
         jax.tree.leaves(tr_mesh.state.params), jax.tree.leaves(tr_single.state.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5)
+
+
+def test_maybe_initialize_distributed_pod_detection(monkeypatch):
+    """Argless jax.distributed.initialize() fires only for multi-worker TPU
+    pod env (code-review r2: the docstring promised self-discovery but the
+    function never called it); explicit JAX_* coordinator env takes priority;
+    single-worker env is a no-op."""
+    import os
+
+    import jax
+
+    from sast_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+
+    def fake_init(**kw):
+        calls.append(kw)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+
+    # no env -> no init
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert mesh_mod.maybe_initialize_distributed() is False
+    assert calls == []
+
+    # single-worker TPU VM -> no init
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
+    assert mesh_mod.maybe_initialize_distributed() is False
+    assert calls == []
+
+    # multi-worker pod -> argless init
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1,host2,host3")
+    assert mesh_mod.maybe_initialize_distributed() is True
+    assert calls == [{}]
+
+    # explicit coordinator env wins and passes through
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert mesh_mod.maybe_initialize_distributed() is True
+    assert calls[-1] == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }
