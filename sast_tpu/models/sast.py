@@ -22,6 +22,7 @@ layered on top in ops/pallas (used when profitable).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Optional, Tuple
 
 import jax
@@ -193,8 +194,6 @@ class MaskedSparseAttention(nn.Module):
     ) -> jnp.ndarray:
         B, N, hw, C = x.shape
         num_heads = self.dim // self.dim_head
-        import math
-
         inner_dim = max(32, math.floor(C * self.mlp_ratio * 2 / 3 / 32) * 32)
 
         # ---- parameters (tree-compatible with the nn.Dense/LayerNorm form) --
@@ -290,11 +289,16 @@ class MaskedSparseAttention(nn.Module):
         # inside the prefix pass through unchanged (all tokens masked), so
         # results are exact whenever n_win <= K; lax.cond falls back to the
         # dense path above the budget, keeping semantics exact at any density.
+        # Both sparse execution paths implement neither drop_path nor the MLP
+        # dropout, so they are valid only when those are inactive.
+        stochastic_off = deterministic or (
+            self.drop_path == 0.0 and self.drop_mlp == 0.0
+        )
         use_gather = (
             self.gather_budget > 0.0
             and win_keep is not None
             and not self.enable_cb
-            and (deterministic or (self.drop_path == 0.0 and self.drop_mlp == 0.0))
+            and stochastic_off
         )
         if use_gather:
             M = B * N
@@ -328,10 +332,7 @@ class MaskedSparseAttention(nn.Module):
             self.use_pallas
             and win_keep is not None
             and not self.enable_cb
-            and (
-                deterministic
-                or (self.drop_path == 0.0 and self.drop_mlp == 0.0)
-            )
+            and stochastic_off
         )
         if not use_pallas:
             return xla_path(None)

@@ -763,70 +763,17 @@ def _looped_kernel(
     base = p * slots_per_program
 
     def compute(y_pad, keep):
-        hw = y_pad.shape[0]
         c_pad = y_pad.shape[1]
         y = y_pad[:, :c_real] if c_pad != c_real else y_pad
-        mu = jnp.sum(y, axis=-1, keepdims=True) / c_real
-        var = jnp.sum((y - mu) ** 2, axis=-1, keepdims=True) / c_real
-        z_ln = (y - mu) * jax.lax.rsqrt(var + norm_eps)
-        z_ln = z_ln * ln2s_ref[:] + ln2b_ref[:]
-        z = jnp.where(keep, z_ln, y)
-        zc = z.astype(wqkv_ref.dtype)
-        if c_pad != c_real:
-            zc = jnp.concatenate(
-                [zc, jnp.zeros((hw, c_pad - c_real), zc.dtype)], axis=-1
-            )
-        qkv = (
-            jnp.dot(zc, wqkv_ref[:], preferred_element_type=jnp.float32)
-            + bqkv_ref[:]
+        out, _ = _fwd_window(
+            y, keep,
+            ln2s_ref[:], ln2b_ref[:], wqkv_ref[:], bqkv_ref[:],
+            wproj_ref[:], bproj_ref[:], ls1_ref[:],
+            wglu_ref[:], bglu_ref[:], wout_ref[:], bout_ref[:], ls2_ref[:],
+            c_real=c_real, num_heads=num_heads, dim_head=dim_head,
+            norm_eps=norm_eps,
         )
-        scale = dim_head ** -0.5
-        key_mask = keep.reshape(1, hw)
-        outs = []
-        for h in range(num_heads):
-            lo = h * dim_head
-            q = qkv[:, lo : lo + dim_head]
-            k = qkv[:, c_real + lo : c_real + lo + dim_head]
-            v = qkv[:, 2 * c_real + lo : 2 * c_real + lo + dim_head]
-            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            logits = jnp.where(key_mask, logits, MASK_VALUE)
-            attn = jax.nn.softmax(logits, axis=-1)
-            outs.append(
-                jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
-            )
-        attn_out = outs[0] if num_heads == 1 else jnp.concatenate(outs, axis=-1)
-        proj = (
-            jnp.dot(
-                attn_out.astype(wproj_ref.dtype),
-                wproj_ref[:],
-                preferred_element_type=jnp.float32,
-            )
-            + bproj_ref[:]
-        )
-        h1 = z + ls1_ref[:] * proj
-        u = (
-            jnp.dot(
-                h1.astype(wglu_ref.dtype), wglu_ref[:],
-                preferred_element_type=jnp.float32,
-            )
-            + bglu_ref[:]
-        )
-        inner = u.shape[-1] // 2
-        m = u[:, :inner] * jax.nn.gelu(u[:, inner:])
-        mlp = (
-            jnp.dot(
-                m.astype(wout_ref.dtype), wout_ref[:],
-                preferred_element_type=jnp.float32,
-            )
-            + bout_ref[:]
-        )
-        h2 = h1 + ls2_ref[:] * mlp
-        out = jnp.where(keep, h2, y).astype(o_vmem.dtype)
-        if c_pad != c_real:
-            out = jnp.concatenate(
-                [out, jnp.zeros((hw, c_pad - c_real), out.dtype)], axis=-1
-            )
-        return out
+        return _pad_cols(out.astype(o_vmem.dtype), c_pad)
 
     def start_in(j, buf):
         wid = ids_ref[base + j]

@@ -111,22 +111,37 @@ class Trainer:
         two are equivalent; the multi-host path shares this code."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in device_batch.items()}
+        multi = jax.process_count() > 1
+        def put(v, sh):
+            # Single-process: device_put is identical (local == global) and
+            # donation-safe; make_array_from_process_local_data arrays abort
+            # under buffer donation on some backends.
+            if multi:
+                return jax.make_array_from_process_local_data(sh, np.asarray(v))
+            return jax.device_put(np.asarray(v), sh)
         return {
-            k: jax.make_array_from_process_local_data(
-                self._sh_b1 if k == "ev_repr" else self._sh_b0, np.asarray(v)
-            )
+            k: put(v, self._sh_b1 if k == "ev_repr" else self._sh_b0)
             for k, v in device_batch.items()
         }
 
-    def _put_states(self, lstm):
+    def _zero_states(self, B):
+        """Fresh per-lane LSTM states; with a mesh they are assembled
+        host-side (np.zeros, no device round trip — a D2H fetch here would
+        trigger the dispatch degradation documented in docs/DESIGN.md §6)
+        and sharded over the batch axis."""
+        cfg = self.cfg
         if self.mesh is None:
-            return lstm
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                self._sh_b0, np.asarray(x)
-            ),
-            lstm,
+            return zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
+        structs = jax.eval_shape(
+            lambda: zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
         )
+        multi = jax.process_count() > 1
+        def put(st):
+            z = np.zeros(st.shape, st.dtype)
+            if multi:
+                return jax.make_array_from_process_local_data(self._sh_b0, z)
+            return jax.device_put(z, self._sh_b0)
+        return jax.tree.map(put, structs)
 
     # -- checkpointing -----------------------------------------------------
     @property
@@ -200,10 +215,7 @@ class Trainer:
             device_batch, host = split_device_batch(batch)
             device_batch = self._put_batch(device_batch)
             if lstm is None:
-                B = device_batch["ev_repr"].shape[1]
-                lstm = self._put_states(
-                    zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
-                )
+                lstm = self._zero_states(device_batch["ev_repr"].shape[1])
             lstm, dets = self.eval_step(variables, device_batch, lstm)
             dets_np = jax.device_get(dets)
 
@@ -293,10 +305,7 @@ class Trainer:
             device_batch, _ = split_device_batch(batch)
             device_batch = self._put_batch(device_batch)
             if lstm is None:
-                B = device_batch["ev_repr"].shape[1]
-                lstm = self._put_states(
-                    zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
-                )
+                lstm = self._zero_states(device_batch["ev_repr"].shape[1])
             self.state, lstm, metrics = self.train_step(self.state, device_batch, lstm)
             step += 1
 

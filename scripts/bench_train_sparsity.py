@@ -40,15 +40,13 @@ def main() -> None:
     from sast_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    import dataclasses
+
     cfg = get_config(args.dataset, args.size)
     if args.seq:
-        import dataclasses
-
         cfg = dataclasses.replace(
             cfg, dataset=dataclasses.replace(cfg.dataset, sequence_length=args.seq)
         )
-
-    import dataclasses
 
     def with_budget(c, budget):
         att = dataclasses.replace(c.model.backbone.attention, gather_budget=budget)

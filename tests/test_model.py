@@ -274,24 +274,22 @@ def test_token_mask_end_to_end_train_step():
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
 def _interpret_pallas():
-    """Context manager: run sparse_block kernels in interpret mode on CPU."""
-    import contextlib
+    """Run sparse_block kernels in interpret mode on CPU."""
     import jax.experimental.pallas as pl
     import sast_tpu.ops.pallas.sparse_block as sb
     from functools import partial
 
-    @contextlib.contextmanager
-    def ctx():
-        orig = pl.pallas_call
-        saved = sb.pl.pallas_call
-        sb.pl.pallas_call = partial(orig, interpret=True)
-        try:
-            yield
-        finally:
-            sb.pl.pallas_call = saved
-
-    return ctx()
+    saved = sb.pl.pallas_call
+    sb.pl.pallas_call = partial(pl.pallas_call, interpret=True)
+    try:
+        yield
+    finally:
+        sb.pl.pallas_call = saved
 
 
 def test_pallas_vjp_grads_match_xla():
