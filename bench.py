@@ -2,28 +2,71 @@
 
 Mirrors the reference FPS protocol (/root/reference/benchmark.py:33-64):
 synthetic sparsity-controlled input of shape (4, 384, 640, 20) — the gen4
-(1 Mpx) model resolution — 50 warmup + 300 timed iterations, FPS computed as
-batch_size / mean_step_time. The timed step here is the full detector
-(recurrent backbone with carried LSTM state + PAFPN + YOLOX head + decode),
-a strict superset of the reference's backbone-only measurement.
+(1 Mpx) model resolution — with the full detector (recurrent backbone with
+carried LSTM state + PAFPN + YOLOX head + decode) as the timed step, a
+strict superset of the reference's backbone-only measurement.
 
-Baseline: the reference publishes no FPS number (BASELINE.md). The driver's
-north star is ">=2x A100 per-frame FPS on one v5e chip"; RVT-lineage models
-report ~100 FPS on datacenter GPUs at 1 Mpx, so vs_baseline is reported
-against a 200 FPS proxy target.
+## Why the protocol is 3-phase (this environment)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The TPU sits behind a network tunnel with a bimodal dispatch runtime
+(docs/DESIGN.md §6): before the process's first device-to-host fetch,
+dispatch is fire-and-forget and ``jax.block_until_ready`` does NOT wait
+(measured: 0.08 ms "block" on 170 ms of queued work), so a host-dispatch
+timing loop measures tunnel dispatch rate, not the chip. After one fetch,
+dispatch turns synchronous per-execution with ~25 ms overhead (the "cliff";
+the switch itself costs ~40 s once). Round-2's 45% README-vs-driver FPS gap
+was exactly this: both numbers were tunnel-dispatch rates in different
+regimes.
+
+Phases:
+1. pre-cliff: the literal reference host-dispatch loop -> ``fps_host_dispatch``
+   (continuity with rounds 1-2; a tunnel number, not a chip number);
+2. one scalar fetch flips the runtime into synchronous mode (timed);
+3. post-cliff DEVICE-RESIDENT measurement (headline ``value``): a
+   ``lax.scan`` chains L frames per dispatch with state carried on device;
+   timing chunks of L=100 and L=600 and taking the slope
+   (T_600 - T_100)/500 cancels the fixed per-dispatch overhead exactly, so
+   the number is pure per-frame device time.
+
+MFU arithmetic is printed explicitly (VERDICT r2): XLA cost-analysis
+GFLOP/frame x frames/s / chip bf16 peak.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-BASELINE_FPS_PROXY = 200.0  # 2x assumed A100 per-frame FPS (see docstring)
+BASELINE_FPS_PROXY = 200.0  # 2x assumed A100 per-frame FPS (BASELINE.md)
+
+# Dense bf16 peak TFLOP/s per chip by device kind (public spec sheets).
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 394.0,   # v5e
+    "TPU v5e": 394.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+
+L_SMALL, L_BIG = 100, 600
+
+
+def _chip_peak_tflops(device):
+    env = os.environ.get("SAST_TPU_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = getattr(device, "device_kind", "")
+    for name, peak in _PEAK_TFLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
 
 
 def main() -> None:
@@ -57,34 +100,102 @@ def main() -> None:
         outputs, new_states, p = model.apply(variables, x, states)
         return outputs["preds"], new_states
 
-    preds, st = step(variables, x, states)
-    jax.block_until_ready(preds)
+    def chunk(length):
+        def run(variables, x, states):
+            def body(carry, _):
+                st, acc = carry
+                outputs, new_st, _ = model.apply(variables, x, st)
+                # Cheap reduce keeps every per-frame head live (no DCE)
+                # without materializing `length` prediction tensors.
+                acc = acc + outputs["preds"].sum(dtype=jnp.float32)
+                return (new_st, acc), None
 
+            (st, acc), _ = jax.lax.scan(
+                body, (states, jnp.zeros((), jnp.float32)), None, length=length
+            )
+            return st, acc
+
+        return jax.jit(run)
+
+    run_small, run_big = chunk(L_SMALL), chunk(L_BIG)
+
+    # Compile everything BEFORE any execution/fetch (AOT: no device work, so
+    # phase 1 stays in the pre-cliff regime with an empty queue).
+    step_c = step.lower(variables, x, states).compile()
+    small_c = run_small.lower(variables, x, states).compile()
+    big_c = run_big.lower(variables, x, states).compile()
+
+    # -- phase 1: pre-cliff host-dispatch loop (reference protocol) ----------
     warmup, iters = 50, 300
+    st = states
     for _ in range(warmup):
-        preds, st = step(variables, x, st)
-    jax.block_until_ready(preds)
-
-    # 5 timed blocks: dispatch latency through the remote-TPU tunnel is
-    # noisy between runs; the minimum is the honest device-throughput number,
-    # and the spread is reported so the headline can be reconciled with any
-    # single run (observed run-to-run swing up to ~2x through the tunnel).
-    dts = []
-    for _ in range(5):
+        preds, st = step_c(variables, x, st)
+    jax.block_until_ready(preds)  # no-op pre-cliff; kept for protocol parity
+    dts_host = []
+    for _ in range(3):
         t0 = time.time()
         for _ in range(iters):
-            preds, st = step(variables, x, st)
+            preds, st = step_c(variables, x, st)
         jax.block_until_ready(preds)
-        dts.append((time.time() - t0) / iters)
-    dt = min(dts)
-    dt_med = sorted(dts)[len(dts) // 2]
+        dts_host.append((time.time() - t0) / iters)
+    dt_host = min(dts_host)
 
-    fps = B / dt
-    fps_median = B / dt_med
-    spread_pct = 100.0 * (max(dts) - min(dts)) / min(dts)
+    # -- phase 2: flip into synchronous dispatch (the D2H cliff, once) -------
+    t0 = time.time()
+    float(jnp.zeros(()) + 1.0)
+    cliff_s = time.time() - t0
+
+    # -- phase 3: device-resident chunks, overhead-cancelling slope ----------
+    st, acc = small_c(variables, x, states)
+    jax.block_until_ready(acc)  # waits post-cliff
+    t_small, t_big = [], []
+    for _ in range(4):
+        t0 = time.time()
+        st, acc = small_c(variables, x, st)
+        jax.block_until_ready(acc)
+        t_small.append(time.time() - t0)
+        t0 = time.time()
+        st, acc = big_c(variables, x, st)
+        jax.block_until_ready(acc)
+        t_big.append(time.time() - t0)
+    dt_frame = (min(t_big) - min(t_small)) / (L_BIG - L_SMALL)
+    # second-best slope as the stability estimate
+    dt_frame_2 = (sorted(t_big)[1] - sorted(t_small)[1]) / (L_BIG - L_SMALL)
+    overhead_ms = 1e3 * (min(t_small) - L_SMALL * dt_frame)
+    spread_pct = 100.0 * abs(dt_frame_2 - dt_frame) / dt_frame
+
+    fps = B / dt_frame
+    fps_host = B / dt_host
+
+    # -- MFU arithmetic ------------------------------------------------------
+    from sast_tpu.utils.benchmark import compute_flops
+
+    gflops_frame = compute_flops(cfg, batch_size=1, sparsity=sparsity)[
+        "gflops_total"
+    ]
+    dev = jax.devices()[0]
+    peak_tflops = _chip_peak_tflops(dev)
+    achieved_tflops = gflops_frame * fps / 1e3
+    mfu = achieved_tflops / peak_tflops if peak_tflops else None
+
     print(
-        f"per-step best {dt * 1000.0:.3f} ms / median {dt_med * 1000.0:.3f} ms "
-        f"(spread {spread_pct:.0f}%), batch {B}, input {tuple(x.shape)}",
+        f"device-resident per-frame {dt_frame * 1e3:.3f} ms (slope of "
+        f"L={L_SMALL}/{L_BIG} chunks; 2nd-best {dt_frame_2 * 1e3:.3f} ms, "
+        f"per-dispatch overhead {overhead_ms:.1f} ms), host-dispatch "
+        f"{dt_host * 1e3:.3f} ms, cliff fetch {cliff_s:.1f} s, batch {B}, "
+        f"input {tuple(x.shape)}",
+        file=sys.stderr,
+    )
+    print(
+        f"MFU: {gflops_frame:.1f} GFLOP/frame x {fps:.0f} frame/s = "
+        f"{achieved_tflops:.1f} TFLOP/s"
+        + (
+            f" / {peak_tflops:.0f} TFLOP/s peak ({dev.device_kind}) = "
+            f"{100 * mfu:.1f}% MFU"
+            if mfu is not None
+            else f" (peak unknown for device kind {dev.device_kind!r}; set "
+            "SAST_TPU_PEAK_TFLOPS)"
+        ),
         file=sys.stderr,
     )
     print(
@@ -94,8 +205,16 @@ def main() -> None:
                 "value": round(fps, 1),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / BASELINE_FPS_PROXY, 3),
-                "value_median": round(fps_median, 1),
-                "block_spread_pct": round(spread_pct, 1),
+                "value_second_best": round(B / dt_frame_2, 1),
+                "slope_spread_pct": round(spread_pct, 1),
+                "fps_host_dispatch": round(fps_host, 1),
+                "per_dispatch_overhead_ms": round(overhead_ms, 1),
+                "cliff_fetch_s": round(cliff_s, 1),
+                "gflop_per_frame": round(gflops_frame, 2),
+                "achieved_tflops": round(achieved_tflops, 1),
+                "peak_tflops": peak_tflops,
+                "mfu_pct": round(100 * mfu, 1) if mfu is not None else None,
+                "device_kind": dev.device_kind,
             }
         )
     )

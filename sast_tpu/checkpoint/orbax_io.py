@@ -46,12 +46,16 @@ class CheckpointManager:
         }
         if getattr(state, "ema_params", None) is not None:
             payload["ema_params"] = state.ema_params
+        # metrics=None (not {}) for metric-less saves: orbax only honors
+        # keep_checkpoints_without_metrics for None — an empty dict ranks the
+        # checkpoint with best_fn's default and the GC may evict the LATEST
+        # save in favor of an older best, losing final/periodic checkpoints.
         self._mgr.save(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(payload),
             ),
-            metrics=dict(metrics or {}),
+            metrics=dict(metrics) if metrics else None,
         )
         self._mgr.wait_until_finished()
 

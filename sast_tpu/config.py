@@ -151,7 +151,6 @@ class BackboneConfig:
     embed_dim: int = 64
     dim_multiplier: Tuple[int, ...] = (1, 2, 4, 8)
     num_blocks: Tuple[int, ...] = (1, 1, 1, 1)
-    t_max_chrono_init: Tuple[int, ...] = (4, 8, 16, 32)
     stem_patch_size: int = 4
     downsample_overlap: bool = True
     downsample_norm_affine: bool = True

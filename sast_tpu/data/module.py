@@ -46,36 +46,54 @@ class RandomAccessSampler:
         weighted: bool,
         num_classes: int,
         seed: int = 0,
+        only_load_end_labels: bool = False,
     ):
         self.readers = readers
         self.seq_len = seq_len
         self.batch_size = batch_size
         self.augmentor = augmentor
+        self.only_load_end_labels = only_load_end_labels
         self.rng = np.random.RandomState(seed)
 
-        # Flat index of (reader_idx, objframe_idx).
+        # Flat index of (reader_idx, objframe_idx) over full-window samples
+        # only (sequence_rnd.py:24-34 start_idx_offset exclusion).
         self.index: List = []
-        weights = []
-        class_counts = np.zeros((num_classes,), np.float64)
-        per_seq_hist = []
         for ri, r in enumerate(readers):
-            hist = r.label_class_histogram(num_classes)
-            class_counts += hist
-            per_seq_hist.append(hist)
-            for oi in range(r.num_random_access_samples()):
+            off = r.random_access_start_offset(seq_len)
+            for oi in range(off, len(r.objframe_idx_2_repr_idx)):
                 self.index.append((ri, oi))
-        if weighted:
-            # Sample weight ~ inverse frequency of the rarest class present in
-            # the sequence (coarse, per-sequence like dataset_rnd.py:115-149).
-            inv = 1.0 / np.maximum(class_counts, 1.0)
-            for ri, oi in self.index:
-                hist = per_seq_hist[ri]
-                w = float((hist > 0) @ inv) if hist.sum() > 0 else 1e-9
-                weights.append(w)
-            w = np.asarray(weights)
-            self.probs = w / w.sum()
-        else:
-            self.probs = None
+        self.probs = (
+            self._reference_sample_weights() if weighted else None
+        )
+
+    def _reference_sample_weights(self) -> np.ndarray:
+        """Per-SAMPLE weights, the reference formula (dataset_rnd.py:115-149):
+        global class counts over every sample's window labels ->
+        class2weight = 1/count -> weight(sample) = sum over its window's boxes
+        of class2weight[class], biasing toward frames with more boxes."""
+        per_sample: List = []
+        class2count: Dict[int, int] = {}
+        for ri, oi in self.index:
+            ids = self.readers[ri].window_class_ids(
+                oi, self.seq_len, self.only_load_end_labels
+            )
+            cls, cnt = np.unique(ids, return_counts=True)
+            per_sample.append((cls, cnt))
+            for c, n in zip(cls, cnt):
+                class2count[int(c)] = class2count.get(int(c), 0) + int(n)
+        class2weight = {
+            c: 1.0 / max(n, 1) for c, n in class2count.items()
+        }
+        w = np.array(
+            [
+                sum(class2weight[int(c)] * int(n) for c, n in zip(cls, cnt))
+                for cls, cnt in per_sample
+            ],
+            np.float64,
+        )
+        if w.sum() == 0:  # degenerate: no boxes anywhere
+            w = np.ones_like(w)
+        return w / w.sum()
 
     def _draw(self) -> int:
         """Index draw (main thread only: RandomState is not thread-safe)."""
@@ -86,23 +104,16 @@ class RandomAccessSampler:
     def _fetch(self, k: int, aug_state, rng_seed: int = 0) -> dict:
         rng = np.random.RandomState(rng_seed)
         ri, oi = self.index[k]
-        ev, labels = self.readers[ri].random_access_sample(oi, self.seq_len)
-        n_pad = self.seq_len - ev.shape[0]
-        mask = np.ones((self.seq_len,), bool)
-        if n_pad > 0:
-            # Short head of a sequence: left-pad with zeros (state resets anyway).
-            ev = np.concatenate(
-                [np.zeros((n_pad, *ev.shape[1:]), ev.dtype), ev], axis=0
-            )
-            labels = [None] * n_pad + labels
-            mask[:n_pad] = False
+        ev, labels = self.readers[ri].random_access_sample(
+            oi, self.seq_len, self.only_load_end_labels
+        )
         if self.augmentor is not None:
             ev, labels = self.augmentor.apply(aug_state, ev, labels, rng=rng)
         return {
             "ev_repr": ev,
             "labels": labels,
             "is_first": True,  # random-access always resets the state
-            "is_padded_mask": mask,
+            "is_padded_mask": np.ones((self.seq_len,), bool),
         }
 
     def _sample(self) -> dict:
@@ -203,6 +214,7 @@ class DataModule:
             sampler = RandomAccessSampler(
                 readers, ds.sequence_length, B, random_aug,
                 ds.weighted_sampling, ds.num_classes, seed=seed + self.rank,
+                only_load_end_labels=ds.only_load_end_labels,
             )
         else:  # mixed
             # Static lane split. The reference's mixed mode splits *workers*
@@ -225,6 +237,7 @@ class DataModule:
                 RandomAccessSampler(
                     readers, ds.sequence_length, b_random, random_aug,
                     ds.weighted_sampling, ds.num_classes, seed=seed + self.rank,
+                    only_load_end_labels=ds.only_load_end_labels,
                 ),
             )
         it = self._assemble(sampler)

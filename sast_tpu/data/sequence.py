@@ -145,30 +145,63 @@ class SequenceReader:
         return streams
 
     # -- random-access samples -------------------------------------------------
-    def num_random_access_samples(self) -> int:
-        return len(self.objframe_idx_2_repr_idx)
+    def random_access_start_offset(self, seq_len: int) -> int:
+        """First objframe whose labeled repr fits a full seq_len window
+        (sequence_rnd.py:24-32: samples with ``repr_idx - seq_len + 1 < 0``
+        are excluded from the random-access dataset entirely)."""
+        idx = self.objframe_idx_2_repr_idx
+        return int(np.searchsorted(idx, seq_len - 1, side="left"))
 
-    def random_access_sample(self, objframe_idx: int, seq_len: int):
+    def num_random_access_samples(self, seq_len: int) -> int:
+        return len(self.objframe_idx_2_repr_idx) - self.random_access_start_offset(
+            seq_len
+        )
+
+    def random_access_sample(
+        self, objframe_idx: int, seq_len: int, only_load_end_labels: bool = False
+    ):
         """The seq_len reprs ending at labeled frame `objframe_idx`
-        (sequence_rnd.py:30-70); shorter at sequence start."""
+        (sequence_rnd.py:43-75). ``objframe_idx`` is absolute (callers add
+        ``random_access_start_offset``), so the window always fits.
+
+        The reference default (only_load_end_labels=False,
+        config/dataset/gen1.yaml:9) supervises EVERY labeled frame inside the
+        window; True nullifies all but the final label (the preceding frames
+        then only warm the recurrent state)."""
         end = int(self.objframe_idx_2_repr_idx[objframe_idx]) + 1
-        start = max(0, end - seq_len)
+        start = end - seq_len
+        assert start >= 0, (
+            f"objframe {objframe_idx} (repr {end - 1}) cannot fit a "
+            f"{seq_len}-long window; index from random_access_start_offset"
+        )
         ev = self.get_ev_repr(start, end)
-        labels: List[Optional[FrameLabels]] = [
-            self.labels_at_repr_idx(r) for r in range(start, end)
-        ]
-        # In random-access mode, only the final (labeled) frame is used for
-        # the loss (the preceding frames warm the recurrent state).
-        labels = [None] * (len(labels) - 1) + [labels[-1]]
+        if only_load_end_labels:
+            labels: List[Optional[FrameLabels]] = [None] * (seq_len - 1) + [
+                self.labels_at_repr_idx(end - 1)
+            ]
+        else:
+            labels = [self.labels_at_repr_idx(r) for r in range(start, end)]
         return ev, labels
 
-    def label_class_histogram(self, num_classes: int) -> np.ndarray:
-        """Per-class GT counts (for the weighted random sampler,
-        dataset_rnd.py:115-149)."""
-        counts = np.zeros((num_classes,), np.int64)
-        cls = self.labels._all.class_id.astype(np.int64)
-        np.add.at(counts, np.clip(cls, 0, num_classes - 1), 1)
-        return counts
+    def window_class_ids(
+        self, objframe_idx: int, seq_len: int, only_load_end_labels: bool = False
+    ) -> np.ndarray:
+        """Class ids of every GT box a random-access sample supervises
+        (labels of all labeled frames in its window) — the per-sample label
+        statistic the reference weighted sampler iterates the whole dataset
+        in labels-only mode to collect (dataset_rnd.py:120-131)."""
+        end = int(self.objframe_idx_2_repr_idx[objframe_idx]) + 1
+        start = end - seq_len
+        if only_load_end_labels:
+            objframes = [objframe_idx]
+        else:
+            idx = self.objframe_idx_2_repr_idx
+            lo = int(np.searchsorted(idx, start, side="left"))
+            objframes = list(range(lo, objframe_idx + 1))
+        ids = [
+            np.asarray(self.labels[o].class_id, np.int64) for o in objframes
+        ]
+        return np.concatenate(ids) if ids else np.zeros((0,), np.int64)
 
 
 class ClipIterator:

@@ -165,6 +165,30 @@ class PropheseeEvaluator:
     def reset_buffer(self) -> None:
         self._buffer = {self.LABELS: [], self.PREDICTIONS: []}
 
+    def gather_across_processes(self, allgather_fn=None) -> None:
+        """Merge every process's label/prediction buffers into this one, so
+        ``evaluate_buffer`` computes the GLOBAL metric on every rank.
+
+        Cross-process analog of the reference's manual metric sync
+        (/root/reference/modules/detection.py:334-344, dist.barrier +
+        dist.reduce averaging of per-rank APs) — but exact: evaluating the
+        union of all ranks' clips equals the single-process metric, whereas
+        averaging per-rank APs only approximates it. Every rank ends with the
+        same buffer, so best-AP checkpointing keys off the global number.
+
+        ``allgather_fn`` (tests) overrides the JAX multihost allgather; it
+        must map ``buffer -> [buffer_rank0, buffer_rank1, ...]``.
+        """
+        if allgather_fn is None:
+            from sast_tpu.parallel.mesh import allgather_host_objects
+
+            allgather_fn = allgather_host_objects
+        buffers = allgather_fn(self._buffer)
+        self._buffer = {
+            k: [item for b in buffers for item in b[k]]
+            for k in (self.LABELS, self.PREDICTIONS)
+        }
+
     def evaluate_buffer(self, img_height: int, img_width: int) -> Optional[Dict[str, float]]:
         labels = self._buffer[self.LABELS]
         preds = self._buffer[self.PREDICTIONS]

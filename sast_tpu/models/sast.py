@@ -15,8 +15,17 @@ Reference semantics (verified against SAST.py:98-255), per token position p:
 The reference's per-window top-K gather/pad (SAST.py:270-281) is purely a
 batching mechanism for CUDA; masked attention over the full static window set
 is mathematically identical and is what XLA:TPU wants (fixed shapes, MXU-sized
-batched matmuls). A Pallas kernel that additionally *skips* masked windows is
-layered on top in ops/pallas (used when profitable).
+batched matmuls). Two alternative execution paths share this parameter tree:
+
+* budget-gather (``gather_budget`` config): static-K kept-window gather ->
+  batched block -> scatter; measured 15-20% faster than masked XLA in
+  forward-only serving below ~40% window density (README sparsity table),
+  still slower in training — so masked XLA stays the training/eval default.
+* a Pallas window-skipping kernel (ops/pallas, ``use_pallas``): opt-in and
+  measured SLOWER than both batched paths at the shipped window geometries
+  (its per-window execution is serial; README table) — kept only as the
+  large-window escape hatch and for its hardware parity tests, not as a
+  performance path.
 """
 
 from __future__ import annotations
@@ -389,8 +398,6 @@ class SASTBlock(nn.Module):
     first_block: bool = False
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
-    pallas_threshold: float = 0.4  # window-density crossover for lax.cond
-    gather_budget: float = 0.0  # static kept-window budget fraction (0 = off)
 
     @nn.compact
     def __call__(

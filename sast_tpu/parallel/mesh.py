@@ -54,6 +54,38 @@ def process_shard_info() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
+def allgather_host_objects(obj: Any) -> list:
+    """All-gather an arbitrary picklable HOST object across JAX processes;
+    returns ``[obj_rank0, obj_rank1, ...]`` ordered by process index.
+
+    Used for variable-length evaluation buffers (the TPU-native analog of
+    the reference's ``dist.barrier`` + ``dist.reduce`` metric sync,
+    /root/reference/modules/detection.py:334-344): objects are pickled,
+    length-allgathered, zero-padded to the max length, and allgathered as
+    uint8 payloads through device collectives. Single-process: ``[obj]``
+    with no device work at all.
+    """
+    nproc = jax.process_count()
+    if nproc == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(np.int64(payload.size))
+    ).reshape(-1)
+    assert lengths.size == nproc, lengths.shape
+    padded = np.zeros((int(lengths.max()),), np.uint8)
+    padded[: payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(gathered[i, : int(lengths[i])].tobytes())
+        for i in range(nproc)
+    ]
+
+
 def maybe_initialize_distributed() -> bool:
     """Call ``jax.distributed.initialize()`` when launched as one process of a
     multi-host job (the GSPMD equivalent of ``dist.init_process_group``,

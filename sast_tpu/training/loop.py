@@ -96,6 +96,12 @@ class Trainer:
         self.eval_step = jax.jit(make_eval_step(eval_model, cfg), donate_argnums=(2,))
         self._ckpt = None
         self.p_smooth = SmoothedValue()
+        # Host-side copy of the optimizer's lr schedule for train/lr logging
+        # (reference LearningRateMonitor, train.py:126-136).
+        from sast_tpu.training.optimizer import build_schedule
+
+        self._lr_schedule = build_schedule(cfg.training, learning_rate)
+        self.best_val_ap = -1.0
 
     def _put_batch(self, device_batch: dict) -> dict:
         """Move a host batch to device(s). With a mesh, ev_repr (T, B, ...)
@@ -125,22 +131,32 @@ class Trainer:
         }
 
     def _zero_states(self, B):
-        """Fresh per-lane LSTM states; with a mesh they are assembled
-        host-side (np.zeros, no device round trip — a D2H fetch here would
-        trigger the dispatch degradation documented in docs/DESIGN.md §6)
-        and sharded over the batch axis."""
+        """Fresh per-lane LSTM states for a GLOBAL batch of ``B`` lanes; with
+        a mesh they are assembled host-side (np.zeros, no device round trip —
+        a D2H fetch here would trigger the dispatch degradation documented in
+        docs/DESIGN.md §6) and sharded over the batch axis.
+
+        ``B`` is the global batch (callers read it off the already-assembled
+        device batch), so on multi-process runs each host builds only ITS
+        ``B // process_count`` lanes of zeros and passes the global shape
+        explicitly — passing global-shaped zeros without ``global_shape``
+        would make ``make_array_from_process_local_data`` infer a
+        ``process_count``× larger global batch than the data batch."""
         cfg = self.cfg
         if self.mesh is None:
             return zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
         structs = jax.eval_shape(
             lambda: zero_states(cfg.model.backbone, B, dtype=_model_dtype(cfg))
         )
-        multi = jax.process_count() > 1
+        nproc = jax.process_count()
         def put(st):
-            z = np.zeros(st.shape, st.dtype)
-            if multi:
-                return jax.make_array_from_process_local_data(self._sh_b0, z)
-            return jax.device_put(z, self._sh_b0)
+            if nproc > 1:
+                assert st.shape[0] % nproc == 0, (st.shape, nproc)
+                local = np.zeros((st.shape[0] // nproc,) + st.shape[1:], st.dtype)
+                return jax.make_array_from_process_local_data(
+                    self._sh_b0, local, st.shape
+                )
+            return jax.device_put(np.zeros(st.shape, st.dtype), self._sh_b0)
         return jax.tree.map(put, structs)
 
     # -- checkpointing -----------------------------------------------------
@@ -274,6 +290,21 @@ class Trainer:
             self.logger.log_images(
                 "val/predictions", viz_panels, step=int(self.state.step)
             )
+            if len(viz_panels) > 1 and all(
+                p.shape == viz_panels[0].shape for p in viz_panels
+            ):
+                # Prediction clip as video (reference wandb_logger.py:170-198
+                # log_video); wandb.Video wants (T, C, H, W).
+                clip = np.stack(viz_panels).transpose(0, 3, 1, 2)
+                self.logger.log_video(
+                    "val/prediction_clip", clip, step=int(self.state.step)
+                )
+        if jax.process_count() > 1:
+            # Merge all ranks' buffers so every process computes (and logs /
+            # checkpoints on) the GLOBAL metric — the reference's manual
+            # dist.reduce metric sync (modules/detection.py:334-344), done
+            # exactly over the union of clips instead of averaging rank APs.
+            evaluator.gather_across_processes()
         if not evaluator.has_data():
             return {}
         h, w = cfg.model.backbone.in_res_hw
@@ -294,6 +325,7 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         t_last = time.time()
         step = int(self.state.step)
+        last_ckpt_step = step
         # Gradient-flow history for the periodic figure (reference
         # callbacks/gradflow.py): per-component grad norms at log points.
         gf_steps: list = []
@@ -315,7 +347,11 @@ class Trainer:
                 dt = (time.time() - t_last) / min(self.log_every, step)
                 t_last = time.time()
                 log = {f"train/{k}": v for k, v in metrics.items()}
-                log.update({"train/SN": sn, "train/step_time_s": dt})
+                log.update({
+                    "train/SN": sn,
+                    "train/step_time_s": dt,
+                    "train/lr": float(self._lr_schedule(step)),
+                })
                 self.logger.log(log, step)
                 gf_steps.append(step)
                 for k, v in metrics.items():
@@ -353,16 +389,28 @@ class Trainer:
                         file=sys.stderr,
                     )
                     last_metrics.update(val_metrics)
-                self.ckpt.save(
-                    step,
-                    self.state,
-                    metrics={"val_AP": val_metrics.get("val/AP", -1.0)},
-                )
+                val_ap = val_metrics.get("val/AP", -1.0)
+                is_best = val_ap > self.best_val_ap
+                if is_best:
+                    self.best_val_ap = val_ap
+                self.ckpt.save(step, self.state, metrics={"val_AP": val_ap})
+                # Alias the artifact 'best' when val/AP improved (reference
+                # ModelCheckpoint on val/AP + wandb_logger aliases,
+                # callbacks/custom.py:8-31, wandb_logger.py:238-324).
                 self.logger.log_checkpoint(
-                    os.path.join(self.workdir, "ckpts"), step
+                    os.path.join(self.workdir, "ckpts"), step,
+                    aliases=["best"] if is_best else None,
                 )
+                last_ckpt_step = step
             elif self.ckpt_every is not None and step % self.ckpt_every == 0:
                 self.ckpt.save(step, self.state, metrics={})
+                last_ckpt_step = step
+
+        # Persist the final state even when max_steps is not aligned with
+        # val_every/ckpt_every (a run must never end without its last state).
+        if step > 0 and last_ckpt_step != step:
+            self.ckpt.save(step, self.state, metrics={})
+            self.logger.log_checkpoint(os.path.join(self.workdir, "ckpts"), step)
 
         return last_metrics
 

@@ -44,21 +44,28 @@ def scale_lr_for_global_batch(base_lr: float, global_batch: int, base_batch: int
     return base_lr * math.sqrt(global_batch / base_batch)
 
 
-def build_optimizer(
+def build_schedule(
     cfg: TrainingConfig, learning_rate: Optional[float] = None
-) -> optax.GradientTransformation:
+) -> optax.Schedule:
+    """The step -> lr function used by the optimizer; also evaluated
+    host-side by the trainer to log ``train/lr`` (the reference's
+    LearningRateMonitor, /root/reference/train.py:126-136)."""
     lr = learning_rate if learning_rate is not None else cfg.learning_rate
     if cfg.lr_scheduler.use:
-        schedule = onecycle_linear_schedule(
+        return onecycle_linear_schedule(
             peak_lr=lr,
             total_steps=cfg.lr_scheduler.total_steps,
             pct_start=cfg.lr_scheduler.pct_start,
             div_factor=cfg.lr_scheduler.div_factor,
             final_div_factor=cfg.lr_scheduler.final_div_factor,
         )
-    else:
-        schedule = lr
+    return optax.constant_schedule(lr)
 
+
+def build_optimizer(
+    cfg: TrainingConfig, learning_rate: Optional[float] = None
+) -> optax.GradientTransformation:
+    schedule = build_schedule(cfg, learning_rate)
     tx = optax.chain(
         optax.clip(cfg.gradient_clip_val),  # clip by value (train.py:157)
         optax.adamw(schedule, weight_decay=cfg.weight_decay),

@@ -133,6 +133,11 @@ def _backbone_scan(
     (SAST.py:186-193, rnn.py cell-update dropout).
     """
     thread_rng = dropout_rng is not None
+    if remat_policy not in ("dots", "none", "full"):
+        raise ValueError(
+            f"remat_policy must be one of 'dots' | 'none' | 'full', "
+            f"got {remat_policy!r}"
+        )
 
     def _remat(f):
         if remat_policy == "none":

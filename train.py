@@ -62,6 +62,11 @@ def main() -> None:
     ap.add_argument("--val-every", type=int, default=10_000)
     ap.add_argument("--log-every", type=int, default=50)
     args = ap.parse_args()
+    if args.wandb_runpath and not args.wandb:
+        # Asking to resume a W&B run implies W&B logging; a silent no-op here
+        # would drop the resume the user asked for.
+        print("--wandb-runpath given: enabling --wandb", file=sys.stderr)
+        args.wandb = True
 
     from sast_tpu.utils.cache import enable_compilation_cache
 
