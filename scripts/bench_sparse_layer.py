@@ -77,6 +77,10 @@ def main() -> None:
     def make_fn(mod, length):
         if args.grad:
             def loss(params, xin, tok, win):
+                # Remat per chained layer (same dots policy as training):
+                # without it the scan stores `length` full activations and
+                # OOMs HBM; with it memory is O(1 layer) for every path.
+                @jax.checkpoint
                 def body(c, _):
                     return mod.apply({"params": params}, c, tok, win), None
                 y, _ = jax.lax.scan(body, xin, None, length=length)

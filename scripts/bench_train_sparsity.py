@@ -27,7 +27,15 @@ def main() -> None:
     ap.add_argument("--size", default="base")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--paths", default="xla,pallas,gather",
+        help="comma-separated subset of {xla,pallas,gather}",
+    )
+    ap.add_argument(
+        "--sparsities", default="1.0,0.99,0.9",
+        help="comma-separated input sparsity levels",
+    )
     args = ap.parse_args()
 
     import jax
@@ -53,12 +61,15 @@ def main() -> None:
         bb = dataclasses.replace(c.model.backbone, attention=att)
         return dataclasses.replace(c, model=dataclasses.replace(c.model, backbone=bb))
 
+    wanted = [p.strip() for p in args.paths.split(",") if p.strip()]
     steps = {}
     for name, use_pallas, budget in (
         ("xla", False, 0.0),
         ("pallas", True, 0.0),
         ("gather", False, 0.5),
     ):
+        if name not in wanted:
+            continue
         c = with_budget(cfg, budget)
         state, model = create_train_state(c, jax.random.PRNGKey(0), use_pallas=use_pallas)
         # Donate exactly like the production Trainer: without donation every
@@ -78,12 +89,9 @@ def main() -> None:
         f"T={args.seq or cfg.dataset.sequence_length}, device={jax.devices()[0]}, "
         f"sync-dispatch overhead {overhead * 1e3:.1f} ms (subtracted)"
     )
-    print(
-        f"{'sparsity':>9} {'P(mean)':>9} {'xla ms':>9} {'pallas ms':>10} "
-        f"{'gather ms':>10}"
-    )
-    rows = []
-    for sparsity in (1.0, 0.999, 0.995, 0.99, 0.9):
+    names = list(steps)
+    print(f"{'sparsity':>9} {'P(mean)':>9} " + " ".join(f"{n + ' ms':>10}" for n in names))
+    for sparsity in (float(x) for x in args.sparsities.split(",")):
         batch_np = synthetic_train_batch(
             cfg, np.random.RandomState(0), batch_size=args.batch,
             seq_len=args.seq, sparsity=sparsity,
@@ -115,15 +123,14 @@ def main() -> None:
                 jax.block_until_ready(m["loss"])
                 best = min(best, (time.perf_counter() - t0) / args.iters)
             times[name] = (best - overhead) * 1e3
-            P = m["P"]
+            P = float(m["P"])
             del st, lstm, m
         del batch
-        rows.append((sparsity, P, dict(times)))
-
-    for sparsity, P, times in rows:
+        # Post-cliff, fetching P is harmless; print incrementally so partial
+        # sweeps survive timeouts.
         print(
-            f"{sparsity:>9.3f} {float(P):>9.1f} {times['xla']:>9.2f} "
-            f"{times['pallas']:>10.2f} {times['gather']:>10.2f}"
+            f"{sparsity:>9.3f} {P:>9.1f} "
+            + " ".join(f"{times[n]:>10.2f}" for n in names)
         )
         sys.stdout.flush()
 
