@@ -104,7 +104,13 @@ def main() -> None:
         def run(variables, x, states):
             def body(carry, _):
                 st, acc = carry
-                outputs, new_st, _ = model.apply(variables, x, st)
+                # Zero-scaled feedback makes each frame depend on the
+                # previous iteration so XLA cannot hoist per-frame input
+                # work (stem conv, density ratios) out of the scan the way
+                # it can with a constant x — a real stream has a new frame
+                # every step (measured: constant-x underreports by ~1.8x).
+                xt = x * (1 + acc * 1e-30)
+                outputs, new_st, _ = model.apply(variables, xt, st)
                 # Cheap reduce keeps every per-frame head live (no DCE)
                 # without materializing `length` prediction tensors.
                 acc = acc + outputs["preds"].sum(dtype=jnp.float32)
