@@ -28,6 +28,14 @@ Phases:
    (T_600 - T_100)/500 cancels the fixed per-dispatch overhead exactly, so
    the number is pure per-frame device time.
 
+Everything that varies at deploy time (weights, input frame, carried
+state) is a RUNTIME ARGUMENT of the jitted chunk, never a captured
+constant: capturing x as a compile-time constant lets XLA specialize on it
+and reads 0.86 ms/frame (16%) fast at the gen4 geometry, even with the
+feedback perturbation (measured; capturing only the weights changes
+nothing). A real stream has a fresh frame every step, so the argument-x
+number is the honest one.
+
 MFU arithmetic is printed explicitly (VERDICT r2): XLA cost-analysis
 GFLOP/frame x frames/s / chip bf16 peak.
 
@@ -104,12 +112,15 @@ def main() -> None:
         def run(variables, x, states):
             def body(carry, _):
                 st, acc = carry
-                # Zero-scaled feedback makes each frame depend on the
+                # Data-dependent zero makes each frame depend on the
                 # previous iteration so XLA cannot hoist per-frame input
                 # work (stem conv, density ratios) out of the scan the way
                 # it can with a constant x — a real stream has a new frame
                 # every step (measured: constant-x underreports by ~1.8x).
-                xt = x * (1 + acc * 1e-30)
+                # The add preserves the uint8 input dtype exactly (a
+                # float feedback multiply would silently promote the whole
+                # input pipeline to fp32, 4x its HBM traffic).
+                xt = x + (acc * 0).astype(x.dtype)
                 outputs, new_st, _ = model.apply(variables, xt, st)
                 # Cheap reduce keeps every per-frame head live (no DCE)
                 # without materializing `length` prediction tensors.
@@ -131,20 +142,22 @@ def main() -> None:
     small_c = run_small.lower(variables, x, states).compile()
     big_c = run_big.lower(variables, x, states).compile()
 
-    # -- phase 1: pre-cliff host-dispatch loop (reference protocol) ----------
-    warmup, iters = 50, 300
+    # -- phase 1: pre-cliff host-dispatch loop (reference protocol shape) ----
+    # Kept short: every pre-cliff dispatch re-ships its arguments through
+    # the tunnel, and ALL queued work must drain at the phase-2 fetch
+    # (measured: 300+ queued full-model steps made the cliff take 6-12 min).
+    # The number is a tunnel dispatch rate either way, recorded only for
+    # continuity with the reference's host-side timing loop.
+    warmup, iters = 10, 50
     st = states
     for _ in range(warmup):
         preds, st = step_c(variables, x, st)
     jax.block_until_ready(preds)  # no-op pre-cliff; kept for protocol parity
-    dts_host = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            preds, st = step_c(variables, x, st)
-        jax.block_until_ready(preds)
-        dts_host.append((time.time() - t0) / iters)
-    dt_host = min(dts_host)
+    t0 = time.time()
+    for _ in range(iters):
+        preds, st = step_c(variables, x, st)
+    jax.block_until_ready(preds)
+    dt_host = (time.time() - t0) / iters
 
     # -- phase 2: flip into synchronous dispatch (the D2H cliff, once) -------
     t0 = time.time()

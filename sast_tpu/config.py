@@ -122,6 +122,13 @@ class AttentionConfig:
     # cond's fusion barrier costs more than adaptive routing saves
     # (XLA branch 0.51 -> 2.36 ms inside cond at the full-model level).
     pallas_density_threshold: float = 1.0
+    # Dense fused Pallas block kernel (ops/pallas/fused_block.py): computes
+    # the masked block tile-by-tile in VMEM. Numerically identical to the
+    # XLA path; measured 6-11% faster at the stage-1/2 layer geometries but
+    # NEUTRAL at the full-model level (XLA already overlaps the block with
+    # neighboring ops), so it stays opt-in. Auto-falls back to plain XLA
+    # off-TPU, under stochastic regularizers, or with enable_cb.
+    fused_block: bool = False
     # Budget-gather compute sparsity (training + eval): gather the kept-first
     # K = ceil(budget * num_windows) windows into a compact tensor, run the
     # batched masked block on it, scatter back — the reference's dynamic
@@ -154,6 +161,10 @@ class BackboneConfig:
     stem_patch_size: int = 4
     downsample_overlap: bool = True
     downsample_norm_affine: bool = True
+    # Fused Pallas stem conv (ops/pallas/stem_conv.py): 2.6x faster than
+    # XLA's conv lowering on v5e and numerically identical. Auto-falls back
+    # to XLA off-TPU or on unsupported shapes, so it is safe as a default.
+    stem_pallas: bool = True
     attention: AttentionConfig = field(default_factory=AttentionConfig)
     lstm: LstmConfig = field(default_factory=LstmConfig)
     in_res_hw: Tuple[int, int] = (256, 320)

@@ -59,6 +59,7 @@ class SASTStage(nn.Module):
             overlap=cfg.downsample_overlap,
             norm_affine=cfg.downsample_norm_affine,
             dtype=self.dtype,
+            use_pallas_stem=cfg.stem_pallas,
             name="downsample",
         )(x)
 

@@ -83,6 +83,16 @@ class GatedMLP(nn.Module):
         return x
 
 
+class _ConvKernelParam(nn.Module):
+    """Bare conv-kernel parameter with nn.Conv's default init and naming."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
 class ConvDownsample(nn.Module):
     """Overlapping strided conv + LayerNorm. NHWC in, NHWC out.
 
@@ -96,10 +106,44 @@ class ConvDownsample(nn.Module):
     norm_affine: bool = True
     norm_eps: float = 1e-5
     dtype: Optional[Dtype] = None
+    # Route the 7x7/stride-4 stem geometry through the fused Pallas kernel
+    # (ops/pallas/stem_conv.py, 2.6x vs the XLA conv on v5e). Dispatch is
+    # static (backend + shape); non-TPU backends and unsupported shapes fall
+    # back to the numerically identical XLA formulation. Both branches share
+    # the parameter path Conv_0/kernel, so checkpoints are interchangeable.
+    use_pallas_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         f = self.downsample_factor
+        if self.overlap and f == 4:
+            from sast_tpu.ops.pallas.stem_conv import (
+                stem_conv_7x4,
+                stem_conv_xla,
+                stem_kernel_supported,
+            )
+
+            # Explicit param under the scope "Conv_0" — the exact path
+            # nn.Conv's auto-naming would produce, so both dispatches (and
+            # old checkpoints) share one tree.
+            kernel = _ConvKernelParam(
+                (7, 7, x.shape[-1], self.dim_out), name="Conv_0"
+            )()
+            x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            if (
+                self.use_pallas_stem
+                and jax.default_backend() == "tpu"
+                and stem_kernel_supported(x.shape)
+            ):
+                x = stem_conv_7x4(x, kernel)
+            else:
+                x = stem_conv_xla(x, kernel)
+            return nn.LayerNorm(
+                epsilon=self.norm_eps,
+                use_bias=self.norm_affine,
+                use_scale=self.norm_affine,
+                dtype=self.dtype,
+            )(x)
         if self.overlap:
             kernel = (f - 1) * 2 + 1
             pad = kernel // 2

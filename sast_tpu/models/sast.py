@@ -15,14 +15,22 @@ Reference semantics (verified against SAST.py:98-255), per token position p:
 The reference's per-window top-K gather/pad (SAST.py:270-281) is purely a
 batching mechanism for CUDA; masked attention over the full static window set
 is mathematically identical and is what XLA:TPU wants (fixed shapes, MXU-sized
-batched matmuls). Two alternative execution paths share this parameter tree:
+batched matmuls). Three execution paths share this parameter tree:
 
+* dense fused Pallas kernel (``fused_block`` config, opt-in): the same
+  masked math computed tile-by-tile in VMEM (ops/pallas/fused_block.py);
+  exact gradients via an XLA-formulation VJP. Measured 6-11% faster than
+  XLA at the stage-1/2 layer geometries but neutral at the full-model
+  level, so it is not the default. Falls back to plain XLA off-TPU, under
+  active stochastic regularizers (drop_path / MLP dropout at train time),
+  or with enable_cb.
 * budget-gather (``gather_budget`` config): static-K kept-window gather ->
   batched block -> scatter; measured 15-20% faster than masked XLA in
   forward-only serving below ~40% window density (README sparsity table),
-  still slower in training — so masked XLA stays the training/eval default.
-* a Pallas window-skipping kernel (ops/pallas, ``use_pallas``): opt-in and
-  measured SLOWER than both batched paths at the shipped window geometries
+  still slower in training.
+* a Pallas window-skipping kernel (ops/pallas/sparse_block.py,
+  ``use_pallas``): opt-in and
+  measured SLOWER than the batched paths at the shipped window geometries
   (its per-window execution is serial; README table) — kept only as the
   large-window escape hatch and for its hardware parity tests, not as a
   performance path.
@@ -191,6 +199,11 @@ class MaskedSparseAttention(nn.Module):
     use_pallas: bool = False
     pallas_threshold: float = 0.4  # window-density crossover for lax.cond
     gather_budget: float = 0.0  # static kept-window budget fraction (0 = off)
+    # Dense fused Pallas block (ops/pallas/fused_block.py): same masked math,
+    # tiled in VMEM. Opt-in (6-11% layer-level win, neutral at full-model
+    # level). Auto-falls back to the XLA path off-TPU / under stochastic
+    # regularizers / with Context Broadcasting.
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -288,6 +301,23 @@ class MaskedSparseAttention(nn.Module):
         def xla_path(_):
             return block_math(y, token_keep)
 
+        def kernel_params():
+            """Weight dict shared by the Pallas kernels (fused + sparse)."""
+            return {
+                "ln2_scale": n2_scale,
+                "ln2_bias": n2_bias,
+                "wqkv": w_qkv.astype(dt),
+                "bqkv": b_qkv if b_qkv is not None else jnp.zeros((3 * C,)),
+                "wproj": w_proj.astype(dt),
+                "bproj": b_proj if b_proj is not None else jnp.zeros((C,)),
+                "ls1": ls1,
+                "ls2": ls2,
+                "wglu": w_glu.astype(dt),
+                "bglu": b_glu if b_glu is not None else jnp.zeros((2 * inner_dim,)),
+                "wout": w_out.astype(dt),
+                "bout": b_out if b_out is not None else jnp.zeros((C,)),
+            }
+
         # ---- budget-gather path (training compute sparsity) ------------------
         # The reference trains through dynamic gathers of kept windows
         # (SAST.py:199-255). TPU-native equivalent: a STATIC budget
@@ -343,26 +373,37 @@ class MaskedSparseAttention(nn.Module):
             and not self.enable_cb
             and stochastic_off
         )
+
+        # ---- dense fused Pallas block (opt-in) --------------------------------
+        # Same masked math as xla_path, computed tile-by-tile in VMEM
+        # (ops/pallas/fused_block.py). Exact gradients via the XLA VJP.
+        use_fused = (
+            self.fused
+            and not use_pallas
+            and not self.enable_cb
+            and stochastic_off
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from sast_tpu.ops.pallas.fused_block import fused_window_block
+
+            out = fused_window_block(
+                y.reshape(B * N, hw, C),
+                token_keep.reshape(B * N, hw),
+                kernel_params(),
+                num_heads,
+                self.dim_head,
+                self.norm_eps,
+            )
+            return out.reshape(B, N, hw, C)
+
         if not use_pallas:
             return xla_path(None)
 
         def pallas_path(_):
             from sast_tpu.ops.pallas.sparse_block import sparse_window_block
 
-            params = {
-                "ln2_scale": n2_scale,
-                "ln2_bias": n2_bias,
-                "wqkv": w_qkv.astype(dt),
-                "bqkv": b_qkv if b_qkv is not None else jnp.zeros((3 * C,)),
-                "wproj": w_proj.astype(dt),
-                "bproj": b_proj if b_proj is not None else jnp.zeros((C,)),
-                "ls1": ls1,
-                "ls2": ls2,
-                "wglu": w_glu.astype(dt),
-                "bglu": b_glu if b_glu is not None else jnp.zeros((2 * inner_dim,)),
-                "wout": w_out.astype(dt),
-                "bout": b_out if b_out is not None else jnp.zeros((C,)),
-            }
+            params = kernel_params()
             out = sparse_window_block(
                 y.reshape(B * N, hw, C),
                 token_keep.reshape(B * N, hw),
@@ -429,6 +470,7 @@ class SASTBlock(nn.Module):
             use_pallas=self.use_pallas,
             pallas_threshold=cfg.pallas_density_threshold,
             gather_budget=cfg.gather_budget,
+            fused=cfg.fused_block,
         )
 
         x = x + pos_emb.astype(x.dtype)

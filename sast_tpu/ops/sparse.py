@@ -40,19 +40,19 @@ def non_zero_ratio(x: jnp.ndarray, num_stages: int = 4) -> jnp.ndarray:
     Returns:
       (B, num_stages, C) float32 ratios in [0, 1]; no gradient flows.
     """
-    x = jax.lax.stop_gradient(x).astype(jnp.float32)
+    # Max-pool in the input's native dtype (uint8 for stacked histograms):
+    # casting the full-res input to fp32 first costs 4x the HBM traffic of
+    # this whole op. Non-overlapping power-of-two pooling is a reshape-max,
+    # which XLA lowers better than reduce_window here. Semantics match the
+    # reference maxpool exactly (including signed inputs, where a window of
+    # {-1, 0} pools to 0 and counts as zero).
+    x = jax.lax.stop_gradient(x)
     ratios = []
     pooled = x
     for stage in range(num_stages):
         k = 4 if stage == 0 else 2
-        pooled = jax.lax.reduce_window(
-            pooled,
-            -jnp.inf,
-            jax.lax.max,
-            window_dimensions=(1, k, k, 1),
-            window_strides=(1, k, k, 1),
-            padding="VALID",
-        )
+        B, H, W, C = pooled.shape
+        pooled = pooled.reshape(B, H // k, k, W // k, k, C).max(axis=(2, 4))
         nz = jnp.sum((pooled != 0).astype(jnp.float32), axis=(1, 2))  # (B, C)
         ratios.append(nz / (pooled.shape[1] * pooled.shape[2]))
     return jnp.stack(ratios, axis=1)

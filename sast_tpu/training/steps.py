@@ -119,8 +119,10 @@ def _backbone_scan(
     """Scan the recurrent backbone over time; returns stacked FPN-input feats.
 
     ev_repr: (T, B, H, W*C) uint8 when padder is given (W, C merged; see the
-    module docstring), else (T, B, H, W, C) float. The per-step split + cast
-    + pad happen INSIDE the scan so only one timestep materializes at fp32.
+    module docstring), else (T, B, H, W, C) float. The per-step split + pad
+    happen INSIDE the scan, in uint8, so only one padded timestep ever
+    materializes and at 1 byte/element; the backbone stem does the (exact)
+    cast to its compute dtype.
     The scan step is rematerialized with the ``dots_saveable`` policy:
     matmul/conv outputs are saved, elementwise chains recomputed — 20x faster
     than full rematerialization on v5e (fetch-clean: 6.3 ms per gen1-base
@@ -162,7 +164,12 @@ def _backbone_scan(
             (x_t,) = jax.lax.optimization_barrier((x_t,))
             Bq, Hq, WC = x_t.shape
             x_t = x_t.reshape(Bq, Hq, WC // num_channels, num_channels)
-            x_t = padder.pad_tensor_ev_repr(x_t.astype(jnp.float32))
+            # Pad in the native uint8: the backbone stem casts to its compute
+            # dtype on entry (backbone.py ConvDownsample), and uint8 -> bf16 /
+            # fp32 is exact for histogram counts <= 255, so this is bit-
+            # identical while the padded timestep materializes at 1/4 the
+            # bytes (gen4 recipe: 59 MB vs 236 MB per scan step).
+            x_t = padder.pad_tensor_ev_repr(x_t)
         feats, new_states, p = model.apply(
             {"params": params},
             x_t,

@@ -76,7 +76,7 @@ def main() -> None:
         def run():
             def body(carry, _):
                 st, acc = carry
-                xt = x * (1 + acc * 1e-30)
+                xt = x + (acc * 0).astype(x.dtype)
                 outputs, new_st, _ = model.apply(variables, xt, st)
                 return (new_st, acc + outputs["preds"].sum(dtype=jnp.float32)), None
             (st, acc), _ = jax.lax.scan(
@@ -89,7 +89,7 @@ def main() -> None:
         def run():
             def body(carry, _):
                 st, acc = carry
-                xt = x * (1 + acc * 1e-30)
+                xt = x + (acc * 0).astype(x.dtype)
                 f, new_st, _ = model.apply(
                     variables, xt, st, method=YoloXDetector.forward_backbone
                 )
@@ -106,7 +106,7 @@ def main() -> None:
     def chain_detect(length):
         def run():
             def body(acc, _):
-                f = {k: v * (1 + acc * 1e-30) for k, v in feats.items()}
+                f = {k: v + (acc * 0).astype(v.dtype) for k, v in feats.items()}
                 out = model.apply(
                     variables, f, train=False, method=YoloXDetector.forward_detect
                 )

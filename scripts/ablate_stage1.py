@@ -95,7 +95,7 @@ def main() -> None:
     def mk_stem(length):
         def run():
             def body(acc, _):
-                y = stem.apply(v_stem, x_raw * (1 + acc * 1e-30))
+                y = stem.apply(v_stem, x_raw + (acc * 0).astype(x_raw.dtype))
                 return acc + y.sum(dtype=jnp.float32), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
             return acc
@@ -104,7 +104,7 @@ def main() -> None:
     def mk_ratio(length):
         def run():
             def body(acc, _):
-                r = non_zero_ratio(x_raw * (1 + acc * 1e-30), num_stages=4)
+                r = non_zero_ratio(x_raw + (acc * 0).astype(x_raw.dtype), num_stages=4)
                 return acc + r.sum(dtype=jnp.float32), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
             return acc

@@ -36,6 +36,10 @@ def main() -> None:
         "--sparsities", default="1.0,0.99,0.9",
         help="comma-separated input sparsity levels",
     )
+    ap.add_argument(
+        "--no-kernels", action="store_true",
+        help="disable the default Pallas kernels (fused block + stem conv)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,6 +55,16 @@ def main() -> None:
     import dataclasses
 
     cfg = get_config(args.dataset, args.size)
+    if args.no_kernels:
+        bb = cfg.model.backbone
+        bb = dataclasses.replace(
+            bb,
+            stem_pallas=False,
+            attention=dataclasses.replace(bb.attention, fused_block=False),
+        )
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone=bb)
+        )
     if args.seq:
         cfg = dataclasses.replace(
             cfg, dataset=dataclasses.replace(cfg.dataset, sequence_length=args.seq)
