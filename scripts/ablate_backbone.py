@@ -67,8 +67,10 @@ def main() -> None:
         states = zero_states(bb, B, dtype=jnp.bfloat16)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, states)
 
-        def chain(length):
-            def run():
+        def chain(length, model=model, states=states, variables=variables):
+            # Operands are runtime arguments (captured constants let XLA
+            # specialize and underreport ~16%; see docs/DESIGN.md section 6).
+            def run(variables, x, states):
                 def body(carry, _):
                     st, acc = carry
                     xt = x + (acc * 0).astype(x.dtype)
@@ -84,7 +86,8 @@ def main() -> None:
                 )
                 return acc
 
-            return jax.jit(run)
+            f = jax.jit(run)
+            return lambda: f(variables, x, states)
 
         f1, f2 = chain(args.L1), chain(args.L2)
         jax.block_until_ready(f1())

@@ -88,24 +88,33 @@ def main() -> None:
     def fb(t, acc):  # zero-scaled feedback
         return t * (1 + acc * 1e-30).astype(t.dtype)
 
+    # All operands ride through jit as ONE pytree argument so nothing is a
+    # captured constant (XLA specializes on constants and underreports ~16%;
+    # docs/DESIGN.md section 6). Each case reads what it needs from `o`.
+    OPS = dict(
+        x=x, xw=xw, scores=scores, tk=tk, wk=wk, r1=r1, pos=pos,
+        v_block=v_block, v_attn=v_attn, qkv_w=qkv_w, glu_w=glu_w, out_w=out_w,
+    )
+
     cases = {}
 
     def add(name, fn):
         cases[name] = fn
 
-    add("full SASTBlock (2 layers + scoring)", lambda a: (
-        block.apply(v_block, fb(x, a), pos, r1)[0].sum(dtype=jnp.float32)
+    add("full SASTBlock (2 layers + scoring)", lambda a, o: (
+        block.apply(o["v_block"], fb(o["x"], a), o["pos"], o["r1"])[0].sum(dtype=jnp.float32)
     ))
-    add("one MaskedSparseAttention layer", lambda a: (
-        attn.apply(v_attn, fb(xw, a), tk, wk).sum(dtype=jnp.float32)
+    add("one MaskedSparseAttention layer", lambda a, o: (
+        attn.apply(o["v_attn"], fb(o["xw"], a), o["tk"], o["wk"]).sum(dtype=jnp.float32)
     ))
-    add("selection (2x softmax thresholds)", lambda a: (
+    add("selection (2x softmax thresholds)", lambda a, o: (
         sum(m.sum(dtype=jnp.float32) for m in
-            select_windows_and_tokens(fb(scores, a), acfg.bounce))
+            select_windows_and_tokens(fb(o["scores"], a), acfg.bounce))
     ))
 
-    def matmuls_only(a):
-        y = fb(xw, a)
+    def matmuls_only(a, o):
+        qkv_w, glu_w, out_w = o["qkv_w"], o["glu_w"], o["out_w"]
+        y = fb(o["xw"], a)
         qkv = (y @ qkv_w).reshape(B, N, hw, 3, num_heads, dh)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q, k)
@@ -118,16 +127,16 @@ def main() -> None:
 
     add("matmul chain (qkv+attn+glu, no norms)", matmuls_only)
 
-    def attn_einsums(a):
-        y = fb(xw, a).reshape(B, N, hw, num_heads, dh)
+    def attn_einsums(a, o):
+        y = fb(o["xw"], a).reshape(B, N, hw, num_heads, dh)
         logits = jnp.einsum("bnqhd,bnkhd->bnhqk", y, y)
         attn_p = jax.nn.softmax(logits, axis=-1)
         return jnp.einsum("bnhqk,bnkhd->bnqhd", attn_p, y).sum(dtype=jnp.float32)
 
     add("attention einsums + softmax only", attn_einsums)
 
-    def partitions(a):
-        y = fb(x, a)
+    def partitions(a, o):
+        y = fb(o["x"], a)
         yw = window_partition(y, p)
         y2 = window_reverse(yw, p, (H, W))
         yg = grid_partition(y2, p)
@@ -145,14 +154,15 @@ def main() -> None:
 
     def slope(fn):
         def chain(length):
-            def run():
+            def run(ops):
                 def body(acc, _):
-                    return acc + fn(acc), None
+                    return acc + fn(acc, ops), None
                 acc, _ = jax.lax.scan(
                     body, jnp.zeros((), jnp.float32), None, length=length
                 )
                 return acc
-            return jax.jit(run)
+            f = jax.jit(run)
+            return lambda: f(OPS)
         f1, f2 = chain(args.L1), chain(args.L2)
         jax.block_until_ready(f1())
         jax.block_until_ready(f2())

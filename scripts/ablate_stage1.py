@@ -79,7 +79,13 @@ def main() -> None:
     v_lstm = jax.jit(lstm.init)(jax.random.PRNGKey(0), x1, (h0, c0))
 
     def slope(make):
-        f1, f2 = jax.jit(make(args.L1)), jax.jit(make(args.L2))
+        # make(length) returns (fn, call_args): operands are runtime
+        # arguments (captured constants underreport ~16%; DESIGN.md sec 6).
+        def build(length):
+            fn, call_args = make(length)
+            f = jax.jit(fn)
+            return lambda: f(*call_args)
+        f1, f2 = build(args.L1), build(args.L2)
         jax.block_until_ready(f1())
         jax.block_until_ready(f2())
         b1 = b2 = float("inf")
@@ -93,34 +99,34 @@ def main() -> None:
         return (b2 - b1) / (args.L2 - args.L1)
 
     def mk_stem(length):
-        def run():
+        def run(v_stem, x_raw):
             def body(acc, _):
                 y = stem.apply(v_stem, x_raw + (acc * 0).astype(x_raw.dtype))
                 return acc + y.sum(dtype=jnp.float32), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
             return acc
-        return run
+        return run, (v_stem, x_raw)
 
     def mk_ratio(length):
-        def run():
+        def run(x_raw):
             def body(acc, _):
                 r = non_zero_ratio(x_raw + (acc * 0).astype(x_raw.dtype), num_stages=4)
                 return acc + r.sum(dtype=jnp.float32), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
             return acc
-        return run
+        return run, (x_raw,)
 
     def mk_block(length):
-        def run():
+        def run(v_block, x1, pos, r1):
             def body(acc, _):
                 y, p, _m = block.apply(v_block, x1 * (1 + acc * 1e-30).astype(x1.dtype), pos, r1)
                 return acc + y.sum(dtype=jnp.float32) + p, None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
             return acc
-        return run
+        return run, (v_block, x1, pos, r1)
 
     def mk_lstm(length):
-        def run():
+        def run(v_lstm, x1, h0, c0):
             def body(carry, _):
                 (h, c), acc = carry
                 h2, c2 = lstm.apply(v_lstm, x1 * (1 + acc * 1e-30).astype(x1.dtype), (h, c))
@@ -129,7 +135,7 @@ def main() -> None:
                 body, ((h0, c0), jnp.zeros((), jnp.float32)), None, length=length
             )
             return acc
-        return run
+        return run, (v_lstm, x1, h0, c0)
 
     overhead = sync_dispatch()
     print(
