@@ -134,6 +134,12 @@ class ConvDownsample(nn.Module):
                 self.use_pallas_stem
                 and jax.default_backend() == "tpu"
                 and stem_kernel_supported(x.shape)
+                # Multi-device GSPMD treats the Pallas custom call as an
+                # opaque op (no partitioning rule), so the kernel is only
+                # dispatched on single-device processes — exactly where it
+                # is hardware-validated. Multi-chip meshes get the identical
+                # XLA formulation, which GSPMD partitions normally.
+                and jax.device_count() == 1
             ):
                 x = stem_conv_7x4(x, kernel)
             else:

@@ -383,6 +383,9 @@ class MaskedSparseAttention(nn.Module):
             and not self.enable_cb
             and stochastic_off
             and jax.default_backend() == "tpu"
+            # Single-device only: GSPMD has no partitioning rule for the
+            # Pallas custom call (multi-chip meshes use the XLA path).
+            and jax.device_count() == 1
         )
         if use_fused:
             from sast_tpu.ops.pallas.fused_block import fused_window_block
