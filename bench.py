@@ -108,33 +108,11 @@ def main() -> None:
         outputs, new_states, p = model.apply(variables, x, states)
         return outputs["preds"], new_states
 
-    def chunk(length):
-        def run(variables, x, states):
-            def body(carry, _):
-                st, acc = carry
-                # Data-dependent zero makes each frame depend on the
-                # previous iteration so XLA cannot hoist per-frame input
-                # work (stem conv, density ratios) out of the scan the way
-                # it can with a constant x — a real stream has a new frame
-                # every step (measured: constant-x underreports by ~1.8x).
-                # The add preserves the uint8 input dtype exactly (a
-                # float feedback multiply would silently promote the whole
-                # input pipeline to fp32, 4x its HBM traffic).
-                xt = x + (acc * 0).astype(x.dtype)
-                outputs, new_st, _ = model.apply(variables, xt, st)
-                # Cheap reduce keeps every per-frame head live (no DCE)
-                # without materializing `length` prediction tensors.
-                acc = acc + outputs["preds"].sum(dtype=jnp.float32)
-                return (new_st, acc), None
+    # The canonical anti-hoisting scan body (shared with compute_fps and the
+    # ablation scripts — one implementation, one set of protocol rules).
+    from sast_tpu.utils.benchmark import streaming_chunk
 
-            (st, acc), _ = jax.lax.scan(
-                body, (states, jnp.zeros((), jnp.float32)), None, length=length
-            )
-            return st, acc
-
-        return jax.jit(run)
-
-    run_small, run_big = chunk(L_SMALL), chunk(L_BIG)
+    run_small, run_big = streaming_chunk(model, L_SMALL), streaming_chunk(model, L_BIG)
 
     # Compile everything BEFORE any execution/fetch (AOT: no device work, so
     # phase 1 stays in the pre-cliff regime with an empty queue).

@@ -62,6 +62,17 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def best_val_ap(self) -> float:
+        """Highest recorded val_AP across retained checkpoints (-1.0 when
+        none carry metrics) — lets a resumed trainer recover its historical
+        best instead of re-claiming 'best' on the first post-resume val."""
+        best = -1.0
+        for step in self._mgr.all_steps():
+            m = self._mgr.metrics(step)
+            if m:
+                best = max(best, float(m.get("val_AP", -1.0)))
+        return best
+
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 

@@ -52,6 +52,10 @@ def non_zero_ratio(x: jnp.ndarray, num_stages: int = 4) -> jnp.ndarray:
     for stage in range(num_stages):
         k = 4 if stage == 0 else 2
         B, H, W, C = pooled.shape
+        # Floor odd extents like the reference's VALID-padding maxpool does
+        # (identity slice when H, W divide k — the shipped configs round the
+        # model resolution to multiples of 32, so this costs nothing there).
+        pooled = pooled[:, : H // k * k, : W // k * k]
         pooled = pooled.reshape(B, H // k, k, W // k, k, C).max(axis=(2, 4))
         nz = jnp.sum((pooled != 0).astype(jnp.float32), axis=(1, 2))  # (B, C)
         ratios.append(nz / (pooled.shape[1] * pooled.shape[2]))

@@ -178,6 +178,9 @@ class Trainer:
             self.state = self.ckpt.restore_weights(self.state)
         else:
             self.state = self.ckpt.restore(self.state)
+        # Recover the historical best so a resumed run cannot re-alias
+        # 'best' onto a strictly worse post-resume checkpoint.
+        self.best_val_ap = max(self.best_val_ap, self.ckpt.best_val_ap())
         print(f"resumed from step {int(self.state.step)}", file=sys.stderr)
 
     def resume_from_artifact(self, artifact_name: str, weights_only: bool = False) -> bool:
@@ -196,6 +199,7 @@ class Trainer:
         self.state = (
             mgr.restore_weights(self.state) if weights_only else mgr.restore(self.state)
         )
+        self.best_val_ap = max(self.best_val_ap, mgr.best_val_ap())
         print(
             f"resumed from artifact {artifact_name} @ step {int(self.state.step)}",
             file=sys.stderr,
@@ -350,7 +354,10 @@ class Trainer:
                 log.update({
                     "train/SN": sn,
                     "train/step_time_s": dt,
-                    "train/lr": float(self._lr_schedule(step)),
+                    # optax's scale_by_schedule evaluates at the PRE-increment
+                    # count: the update that produced this step used
+                    # schedule(step - 1), so log that, not schedule(step).
+                    "train/lr": float(self._lr_schedule(step - 1)),
                 })
                 self.logger.log(log, step)
                 gf_steps.append(step)

@@ -58,20 +58,84 @@ def sync_dispatch() -> float:
     return min(ts)
 
 
+def streaming_chunk(model, length: int, donate: bool = False):
+    """jitted ``run(variables, x, states)`` chaining ``length`` full-detector
+    frames on device with ``lax.scan``.
+
+    This is THE canonical timed body (bench.py and every ablation script
+    must build on it, not re-derive it): the ``x + (acc * 0)`` feedback makes
+    each frame's input depend on the previous iteration so XLA cannot hoist
+    per-frame input work (stem conv, density pyramid) out of the scan the
+    way it can with a loop-invariant x (measured: constant-x underreports by
+    ~1.8x at the gen4 geometry). The integer add preserves the uint8 input
+    dtype (a float feedback multiply would promote the whole input pipeline
+    to fp32, 4x its HBM traffic). The cheap fp32 reduce keeps every
+    per-frame head live (no DCE) without materializing ``length`` prediction
+    tensors. Weights/input/state stay RUNTIME ARGUMENTS — capturing them as
+    compile-time constants lets XLA specialize on values (~16% fast).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def run(variables, x, states):
+        def body(carry, _):
+            st, acc = carry
+            xt = x + (acc * 0).astype(x.dtype)
+            outputs, new_st, _ = model.apply(variables, xt, st)
+            acc = acc + outputs["preds"].sum(dtype=jnp.float32)
+            return (new_st, acc), None
+
+        (st, acc), _ = jax.lax.scan(
+            body, (states, jnp.zeros((), jnp.float32)), None, length=length
+        )
+        return st, acc
+
+    return jax.jit(run, donate_argnums=(2,) if donate else ())
+
+
+def slope_time(make_fn, L1: int = 20, L2: int = 100, blocks: int = 3) -> float:
+    """Cliff-aware per-iteration device time, in seconds.
+
+    ``make_fn(L)`` must return a ZERO-ARG callable that executes L chained
+    iterations on device (see ``streaming_chunk``). Each chunk runs once
+    un-timed (warmup), then ``blocks`` timed repetitions; the slope
+    ``(best_L2 - best_L1) / (L2 - L1)`` cancels the fixed per-dispatch
+    tunnel overhead exactly. Call ``sync_dispatch()`` FIRST — in the
+    pre-cliff fire-and-forget mode ``block_until_ready`` does not wait and
+    any timing here would record the tunnel dispatch rate, not the chip.
+    """
+    import jax
+
+    assert 0 < L1 < L2, f"need 0 < L1 < L2 for a valid slope, got {(L1, L2)}"
+    f1, f2 = make_fn(L1), make_fn(L2)
+    jax.block_until_ready(f1())
+    jax.block_until_ready(f2())
+    b1 = b2 = float("inf")
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f1())
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f2())
+        b2 = min(b2, time.perf_counter() - t0)
+    return (b2 - b1) / (L2 - L1)
+
+
 def compute_fps(
     cfg: ExperimentConfig,
     batch_size: int = 4,
     sparsity: float = 0.9,
     iters: int = 300,
-    warmup: int = 50,
+    warmup: int = 50,  # noqa: ARG001 - warmup is one full un-timed chunk (slope_time)
     seed: int = 0,
 ) -> Dict[str, float]:
     """Streaming per-frame inference FPS with carried recurrent state.
 
-    Cliff-aware device-resident protocol (see ``sync_dispatch``): the step
-    is chained ``lax.scan``-style in chunks of ``iters//6`` and ``iters``
-    frames; the slope between the two chunk times cancels the fixed
-    per-dispatch overhead, yielding pure per-frame device time.
+    Cliff-aware device-resident protocol (``sync_dispatch`` + ``slope_time``
+    over ``streaming_chunk``s of ``max(10, iters//6)`` and ``iters`` frames);
+    the slope cancels the fixed per-dispatch overhead, yielding pure
+    per-frame device time. ``warmup`` is subsumed by ``slope_time``'s
+    un-timed first execution of each chunk.
     """
     import jax
     import jax.numpy as jnp
@@ -89,40 +153,17 @@ def compute_fps(
     states = zero_states(bb, batch_size, dtype=dtype)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, states)
 
-    def chunk(length):
-        def run(variables, x, states):
-            def body(carry, _):
-                st, acc = carry
-                outputs, new_st, _ = model.apply(variables, x, st)
-                acc = acc + outputs["preds"].sum(dtype=jnp.float32)
-                return (new_st, acc), None
+    L1 = max(10, iters // 6)
+    L2 = max(iters, 2 * L1)
 
-            (st, acc), _ = jax.lax.scan(
-                body, (states, jnp.zeros((), jnp.float32)), None, length=length
-            )
-            return st, acc
-
-        return jax.jit(run)
-
-    L1, L2 = max(10, iters // 6), iters
-    run1, run2 = chunk(L1), chunk(L2)
-    run1_c = run1.lower(variables, x, states).compile()
-    run2_c = run2.lower(variables, x, states).compile()
+    def make_fn(length):
+        compiled = (
+            streaming_chunk(model, length).lower(variables, x, states).compile()
+        )
+        return lambda: compiled(variables, x, states)
 
     overhead = sync_dispatch()
-    st, acc = run1_c(variables, x, states)
-    jax.block_until_ready(acc)
-    t1, t2 = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        st, acc = run1_c(variables, x, st)
-        jax.block_until_ready(acc)
-        t1.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        st, acc = run2_c(variables, x, st)
-        jax.block_until_ready(acc)
-        t2.append(time.perf_counter() - t0)
-    dt = (min(t2) - min(t1)) / (L2 - L1)
+    dt = slope_time(make_fn, L1, L2)
     return {
         "fps": batch_size / dt,
         "step_ms": dt * 1000.0,

@@ -89,18 +89,9 @@ def main() -> None:
             f = jax.jit(run)
             return lambda: f(variables, x, states)
 
-        f1, f2 = chain(args.L1), chain(args.L2)
-        jax.block_until_ready(f1())
-        jax.block_until_ready(f2())
-        b1 = b2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f1())
-            b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            jax.block_until_ready(f2())
-            b2 = min(b2, time.perf_counter() - t0)
-        dt = (b2 - b1) / (args.L2 - args.L1)
+        from sast_tpu.utils.benchmark import slope_time
+
+        dt = slope_time(chain, args.L1, args.L2)
         print(
             f"stages 1..{k}: {dt * 1e3:8.3f} ms  (stage {k} delta "
             f"{(dt - prev) * 1e3:+7.3f} ms)"

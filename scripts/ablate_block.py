@@ -163,14 +163,9 @@ def main() -> None:
                 return acc
             f = jax.jit(run)
             return lambda: f(OPS)
-        f1, f2 = chain(args.L1), chain(args.L2)
-        jax.block_until_ready(f1())
-        jax.block_until_ready(f2())
-        b1 = b2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter(); jax.block_until_ready(f1()); b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); jax.block_until_ready(f2()); b2 = min(b2, time.perf_counter() - t0)
-        return (b2 - b1) / (args.L2 - args.L1)
+        from sast_tpu.utils.benchmark import slope_time
+
+        return slope_time(chain, args.L1, args.L2)
 
     for name, fn in cases.items():
         dt = slope(fn)

@@ -66,14 +66,13 @@ def main() -> None:
                 acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
                 return acc
             return jax.jit(run)
-        f1, f2 = chain(L1), chain(L2)
-        jax.block_until_ready(f1(a, b))
-        jax.block_until_ready(f2(a, b))
-        b1 = b2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter(); jax.block_until_ready(f1(a, b)); b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); jax.block_until_ready(f2(a, b)); b2 = min(b2, time.perf_counter() - t0)
-        dt = (b2 - b1) / (L2 - L1)
+        from sast_tpu.utils.benchmark import slope_time
+
+        def make_fn(L, a=a, b=b):
+            f = chain(L)
+            return lambda: f(a, b)
+
+        dt = slope_time(make_fn, L1, L2)
         print(f"{name:<34} {dt * 1e3:9.3f} ms  {flops / dt / 1e12:7.1f} TFLOP/s")
         sys.stdout.flush()
 

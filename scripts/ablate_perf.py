@@ -17,22 +17,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def slope_time(make_fn, L1=20, L2=100, blocks=3):
-    import jax
-
-    f1 = make_fn(L1)
-    f2 = make_fn(L2)
-    jax.block_until_ready(f1())
-    jax.block_until_ready(f2())
-    b1 = b2 = float("inf")
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f1())
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(f2())
-        b2 = min(b2, time.perf_counter() - t0)
-    return (b2 - b1) / (L2 - L1)
+from sast_tpu.utils.benchmark import slope_time  # the one canonical copy
 
 
 def main() -> None:

@@ -85,18 +85,9 @@ def main() -> None:
             fn, call_args = make(length)
             f = jax.jit(fn)
             return lambda: f(*call_args)
-        f1, f2 = build(args.L1), build(args.L2)
-        jax.block_until_ready(f1())
-        jax.block_until_ready(f2())
-        b1 = b2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f1())
-            b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            jax.block_until_ready(f2())
-            b2 = min(b2, time.perf_counter() - t0)
-        return (b2 - b1) / (args.L2 - args.L1)
+        from sast_tpu.utils.benchmark import slope_time
+
+        return slope_time(build, args.L1, args.L2)
 
     def mk_stem(length):
         def run(v_stem, x_raw):

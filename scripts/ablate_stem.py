@@ -42,7 +42,7 @@ def main() -> None:
     from jax import lax
 
     from sast_tpu.data.synthetic import sparse_event_input
-    from sast_tpu.utils.benchmark import sync_dispatch
+    from sast_tpu.utils.benchmark import slope_time, sync_dispatch
     from sast_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -229,14 +229,7 @@ def main() -> None:
                 acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
                 return acc
             return jax.jit(run)
-        f1, f2 = chain(args.L1), chain(args.L2)
-        jax.block_until_ready(f1())
-        jax.block_until_ready(f2())
-        b1 = b2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter(); jax.block_until_ready(f1()); b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); jax.block_until_ready(f2()); b2 = min(b2, time.perf_counter() - t0)
-        return (b2 - b1) / (args.L2 - args.L1)
+        return slope_time(chain, args.L1, args.L2)
 
     def slope_u8(fn):
         def chain(length):
@@ -247,14 +240,7 @@ def main() -> None:
                 acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
                 return acc
             return jax.jit(run)
-        f1, f2 = chain(args.L1), chain(args.L2)
-        jax.block_until_ready(f1())
-        jax.block_until_ready(f2())
-        b1 = b2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter(); jax.block_until_ready(f1()); b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); jax.block_until_ready(f2()); b2 = min(b2, time.perf_counter() - t0)
-        return (b2 - b1) / (args.L2 - args.L1)
+        return slope_time(chain, args.L1, args.L2)
 
     gflop = 2 * B * (H // f) * (W // f) * k * k * Cin * Cout / 1e9
     for name, fn in variants.items():
@@ -281,14 +267,7 @@ def main() -> None:
                 acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=length)
                 return acc
             return jax.jit(run)
-        f1, f2 = chain(args.L1), chain(args.L2)
-        jax.block_until_ready(f1())
-        jax.block_until_ready(f2())
-        b1 = b2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter(); jax.block_until_ready(f1()); b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); jax.block_until_ready(f2()); b2 = min(b2, time.perf_counter() - t0)
-        dt = (b2 - b1) / (args.L2 - args.L1)
+        dt = slope_time(chain, args.L1, args.L2)
         print(f"{name:<28} {dt*1e3:8.3f} ms")
         sys.stdout.flush()
 

@@ -20,21 +20,11 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def slope_time(build, L1=4, L2=12, blocks=3):
-    import jax
+from sast_tpu.utils.benchmark import slope_time as _slope_time
 
-    f1, f2 = build(L1), build(L2)
-    jax.block_until_ready(f1())
-    jax.block_until_ready(f2())
-    b1 = b2 = float("inf")
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f1())
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(f2())
-        b2 = min(b2, time.perf_counter() - t0)
-    return (b2 - b1) / (L2 - L1)
+
+def slope_time(build, L1=4, L2=12, blocks=3):
+    return _slope_time(build, L1, L2, blocks)
 
 
 def main() -> None:

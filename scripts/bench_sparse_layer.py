@@ -109,18 +109,14 @@ def main() -> None:
         win = jnp.asarray(wk.reshape(B, N))
         tok = jnp.asarray(rng.rand(B, N, HW) > 0.25) & win[..., None]
         times = {}
+        from sast_tpu.utils.benchmark import slope_time
+
         for name, (f1, f2) in fns.items():
-            jax.block_until_ready(f1(tok, win))  # compile + warmup
-            jax.block_until_ready(f2(tok, win))
-            b1 = b2 = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                jax.block_until_ready(f1(tok, win))
-                b1 = min(b1, time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                jax.block_until_ready(f2(tok, win))
-                b2 = min(b2, time.perf_counter() - t0)
-            times[name] = (b2 - b1) / (L2 - L1) * 1e3
+            dt = slope_time(
+                lambda L, f1=f1, f2=f2: (lambda: (f1 if L == L1 else f2)(tok, win)),
+                L1, L2,
+            )
+            times[name] = dt * 1e3
         rows.append((density, times))
 
     mode = "fwd+bwd" if args.grad else "fwd"

@@ -75,3 +75,23 @@ def test_non_zero_ratio_matches_oracle():
         pooled = pooled.reshape(Bp, Hp // k, k, Wp // k, k, Cp).max(axis=(2, 4))
         frac = (pooled != 0).sum(axis=(1, 2)) / (pooled.shape[1] * pooled.shape[2])
         np.testing.assert_allclose(r[:, s], frac, rtol=1e-6)
+
+
+def test_non_zero_ratio_floors_odd_dims():
+    """Extents not divisible by the pool factor floor like the reference's
+    VALID-padding maxpool instead of raising a reshape error (round-3 review
+    finding: a debug in_res_hw like (250, 310) must still evaluate)."""
+    rng = np.random.RandomState(1)
+    x = (rng.rand(1, 250, 310, 3) > 0.9).astype(np.float32)
+    r = np.asarray(jax.jit(non_zero_ratio)(jnp.asarray(x)))
+    assert r.shape == (1, 4, 3)
+    assert np.isfinite(r).all() and (0 <= r).all() and (r <= 1).all()
+
+    # Oracle with explicit flooring.
+    pooled = x
+    for s, k in enumerate([4, 2, 2, 2]):
+        Bp, Hp, Wp, Cp = pooled.shape
+        pooled = pooled[:, : Hp // k * k, : Wp // k * k]
+        pooled = pooled.reshape(Bp, Hp // k, k, Wp // k, k, Cp).max(axis=(2, 4))
+        frac = (pooled != 0).sum(axis=(1, 2)) / (pooled.shape[1] * pooled.shape[2])
+        np.testing.assert_allclose(r[:, s], frac, rtol=1e-6)

@@ -167,8 +167,26 @@ def test_fit_best_alias_final_ckpt_and_lr_logging(tiny_cfg, tmp_path, monkeypatc
     sched_cfg = tiny_cfg.training
     from sast_tpu.training.optimizer import build_schedule
 
-    expect = float(build_schedule(sched_cfg)(lr_rows[0]["step"]))
+    # optax evaluates the schedule at the PRE-increment count, so the lr the
+    # update at `step` actually used is schedule(step - 1) — that is what
+    # must be logged (an off-by-one is visible at the warmup knee).
+    expect = float(build_schedule(sched_cfg)(lr_rows[0]["step"] - 1))
     assert abs(lr_rows[0]["train/lr"] - expect) < 1e-12
+
+
+def test_resume_recovers_best_val_ap(tiny_cfg, tmp_path):
+    """A resumed run must remember the historical best val/AP: otherwise the
+    first post-resume validation (however bad) re-aliases 'best' onto a
+    strictly worse checkpoint (round-3 review finding)."""
+    workdir = str(tmp_path / "resume_best")
+    trainer = Trainer(tiny_cfg, workdir=workdir, log_every=1, val_every=None)
+    trainer.ckpt.save(1, trainer.state, metrics={"val_AP": 0.45})
+    assert trainer.ckpt.best_val_ap() == 0.45
+
+    fresh = Trainer(tiny_cfg, workdir=workdir, log_every=1, val_every=None)
+    assert fresh.best_val_ap == -1.0
+    fresh.maybe_resume(True)
+    assert fresh.best_val_ap == 0.45  # 0.20 post-resume must NOT become 'best'
 
 
 def test_fit_renders_gradflow_at_validation(tiny_cfg, tmp_path):

@@ -91,3 +91,28 @@ def test_render_gradflow():
     assert img.shape[0] > 100 and img.shape[1] > 100
     # non-blank: the plot draws colored curves on white
     assert img.min() < 250
+
+
+def test_slope_time_validates_and_measures():
+    """slope_time rejects degenerate chunk lengths (round-3 review: iters<=10
+    used to divide by zero or produce negative FPS) and returns the correct
+    per-iteration slope for a synthetic timer."""
+    import time as _time
+
+    import pytest
+
+    from sast_tpu.utils.benchmark import slope_time
+
+    with pytest.raises(AssertionError):
+        slope_time(lambda L: lambda: None, L1=10, L2=10)
+    with pytest.raises(AssertionError):
+        slope_time(lambda L: lambda: None, L1=10, L2=5)
+
+    per_iter = 2e-3
+    def make_fn(L):
+        def run():
+            _time.sleep(0.01 + per_iter * L)  # fixed overhead + linear part
+            return 0.0
+        return run
+    dt = slope_time(make_fn, L1=5, L2=25, blocks=2)
+    assert abs(dt - per_iter) < per_iter * 0.5  # slope cancels the overhead
