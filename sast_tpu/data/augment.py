@@ -34,7 +34,9 @@ def resize_nearest(x: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """(T, H, W, C) nearest-exact resize to (T, out_h, out_w, C)."""
     iy = _nearest_exact_indices(out_hw[0], x.shape[1])
     ix = _nearest_exact_indices(out_hw[1], x.shape[2])
-    return x[:, iy][:, :, ix]
+    # One advanced-index gather (broadcasted iy/ix), not two chained ones —
+    # chaining materializes a full (T, out_h, W, C) intermediate.
+    return x[:, iy[:, None], ix[None, :], :]
 
 
 def rotate_nearest(x: np.ndarray, angle_deg: float) -> np.ndarray:

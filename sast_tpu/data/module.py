@@ -158,6 +158,12 @@ class MixedSampler:
 
 class DataModule:
     def __init__(self, cfg: ExperimentConfig, rank: int = 0, world_size: int = 1):
+        from sast_tpu.utils.malloc import retain_freed_memory
+
+        # The loader churns ~1 GB of large numpy buffers per batch; without
+        # this, glibc munmaps each free and the VM re-faults every page at
+        # ~25-55 MB/s — a measured 10x+ loader slowdown (utils/malloc.py).
+        retain_freed_memory()
         self.cfg = cfg
         self.rank = rank
         self.world_size = world_size

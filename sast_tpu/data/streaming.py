@@ -103,9 +103,14 @@ class ConcatStreamsSampler:
         lanes = [self._lane_iter(b) for b in range(self.batch_size)]
         # Lanes fetch in parallel threads: h5 chunk decompression releases
         # the GIL and different sequences use independent (locked) handles.
-        with ThreadPoolExecutor(max_workers=self.batch_size) as pool:
+        pool = ThreadPoolExecutor(max_workers=self.batch_size)
+        try:
             while True:
                 yield list(pool.map(next, lanes))
+        finally:
+            # No blocking join: when the generator is GC'd at interpreter
+            # shutdown, joining worker threads raises inside teardown.
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class ShardedEvalSampler:

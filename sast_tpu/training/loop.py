@@ -60,6 +60,9 @@ class Trainer:
         model/optimizer state is replicated and every batch is device_put
         with its batch axis sharded over the mesh, the GSPMD equivalent of
         the reference's production DDP wiring (train.py:91-98)."""
+        from sast_tpu.utils.malloc import retain_freed_memory
+
+        retain_freed_memory()  # host batch churn; see utils/malloc.py
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
