@@ -96,12 +96,27 @@ class SequenceReader:
             self._h5.close()
             self._h5 = None
 
-    def get_ev_repr(self, start: int, end: int) -> np.ndarray:
-        """[start, end) representations as (T, H, W, C) uint8 (NHWC)."""
+    def get_ev_repr(
+        self, start: int, end: int, file: Optional[h5py.File] = None
+    ) -> np.ndarray:
+        """[start, end) representations as (T, H, W, C) uint8 (NHWC).
+
+        ``file``: an independent read handle (``open_handle``) — readers
+        that stream one sequence from several batch lanes concurrently pass
+        their own handle so chunk decode parallelizes across cores instead
+        of serializing on the shared handle's lock."""
         assert 0 <= start < end <= self.num_ev_repr
-        with self._lock:
-            data = self._file()["data"][start:end]  # (T, C, H, W)
+        if file is not None:
+            data = file["data"][start:end]  # (T, C, H, W)
+        else:
+            with self._lock:
+                data = self._file()["data"][start:end]
         return np.ascontiguousarray(np.transpose(data, (0, 2, 3, 1)))
+
+    def open_handle(self) -> h5py.File:
+        """A private read-only handle (caller closes). h5py handles are not
+        thread-safe, but separate handles on one read-only file are."""
+        return h5py.File(str(self.ev_repr_file), "r")
 
     def labels_at_repr_idx(self, repr_idx: int) -> Optional[FrameLabels]:
         objframe = self._repr_idx_2_objframe_idx.get(repr_idx)
@@ -220,9 +235,14 @@ class ClipIterator:
         return len(self.ranges)
 
     def __iter__(self) -> Iterator[dict]:
-        first = True
+        # Own read handle: several batch lanes may stream this sequence at
+        # once; a shared handle would serialize their chunk decodes.
+        with self.reader.open_handle() as f:
+            yield from self._iter_with(f, first=True)
+
+    def _iter_with(self, f, first: bool) -> Iterator[dict]:
         for start, end in self.ranges:
-            ev = self.reader.get_ev_repr(start, end)
+            ev = self.reader.get_ev_repr(start, end, file=f)
             labels = [
                 self.reader.labels_at_repr_idx(r) for r in range(start, end)
             ]
