@@ -128,8 +128,33 @@ def install_torchvision_stub() -> None:
     ops.nms = nms
     ops.batched_nms = batched_nms
     tv.ops = ops
+
+    # transforms: the reference augmentor imports InterpolationMode and
+    # rotate (data/utils/augmentor.py:10-11). Augmentation parity tests
+    # exercise flip/zoom only; rotation parity cannot be tested in-env
+    # without real torchvision, so the stub rotate raises if reached.
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class InterpolationMode:
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+
+    def rotate(*a, **kw):  # pragma: no cover - guard
+        raise NotImplementedError(
+            "torchvision stub: rotation parity not testable in-env"
+        )
+
+    transforms.InterpolationMode = InterpolationMode
+    tf_functional = types.ModuleType("torchvision.transforms.functional")
+    tf_functional.rotate = rotate
+    tf_functional.InterpolationMode = InterpolationMode
+    transforms.functional = tf_functional
+    tv.transforms = transforms
+
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = tf_functional
 
 
 def add_reference_to_path() -> None:
