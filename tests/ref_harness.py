@@ -85,6 +85,7 @@ def install_omegaconf_stub() -> None:
     mod.DictConfig = DictConfig
     mod.OmegaConf = _OmegaConfStub
     mod.open_dict = None  # only used by config/modifier.py, which we never import
+    mod.MISSING = "???"  # omegaconf's mandatory-value sentinel
     sys.modules["omegaconf"] = mod
 
 
