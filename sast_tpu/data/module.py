@@ -160,9 +160,10 @@ class DataModule:
     def __init__(self, cfg: ExperimentConfig, rank: int = 0, world_size: int = 1):
         from sast_tpu.utils.malloc import retain_freed_memory
 
-        # The loader churns ~1 GB of large numpy buffers per batch; without
-        # this, glibc munmaps each free and the VM re-faults every page at
-        # ~25-55 MB/s — a measured 10x+ loader slowdown (utils/malloc.py).
+        # Opt-in (SAST_TPU_MALLOC_RETAIN=1) arena retention for hosts with
+        # slow page faults: the loader churns ~1 GB of large numpy buffers
+        # per batch, a measured 10x+ slowdown on this VM when every free
+        # munmaps. Default-off: see utils/malloc.py for the XLA:CPU caveat.
         retain_freed_memory()
         self.cfg = cfg
         self.rank = rank

@@ -62,7 +62,7 @@ class Trainer:
         the reference's production DDP wiring (train.py:91-98)."""
         from sast_tpu.utils.malloc import retain_freed_memory
 
-        retain_freed_memory()  # host batch churn; see utils/malloc.py
+        retain_freed_memory()  # opt-in host alloc tuning; see utils/malloc.py
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)

@@ -13,6 +13,16 @@ once per process instead of once per batch. Peak RSS grows by roughly the
 high-water mark of live + recently-freed buffers (a few GB for the shipped
 recipes; the hosts have 100+ GB).
 
+**OPT-IN ONLY** (``SAST_TPU_MALLOC_RETAIN=1``): with the tuning active
+process-wide, long multi-device XLA:CPU sessions eventually SIGABRT inside
+a device-to-host fetch (reproduced: full test suite with the 8-virtual-
+device mesh aborts in test_multichip after ~40 tests; same subset passes
+with the tuning off; RSS peaked at 4.7 GB with 114 GB free, so not OOM —
+an allocator-interaction failure in XLA:CPU, root cause not isolated).
+The loader benchmark enables it explicitly; production TPU hosts fault
+pages orders of magnitude faster than this VM, so the default-off tuning
+costs them nothing.
+
 No reference analog: torch's DataLoader sidesteps this by keeping worker
 processes' tensors alive in shared memory. This is the single-process
 equivalent.
@@ -28,15 +38,21 @@ _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
 
 
-def retain_freed_memory(limit_bytes: int = 1 << 30) -> bool:
+def retain_freed_memory(limit_bytes: int = 1 << 30, force: bool = False) -> bool:
     """Keep freed buffers <= limit_bytes in the malloc arena (glibc only).
 
+    Opt-in: active only with ``SAST_TPU_MALLOC_RETAIN=1`` or ``force=True``
+    (see the module docstring for the XLA:CPU abort this avoids by default).
     Idempotent; returns True when the tuning is active. Safe no-op on
     non-glibc platforms.
     """
     global _done
     if _done:
         return True
+    import os
+
+    if not force and not os.environ.get("SAST_TPU_MALLOC_RETAIN"):
+        return False
     try:
         import ctypes
 

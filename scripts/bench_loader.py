@@ -79,12 +79,19 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=21)
     ap.add_argument("--no-prefetch", action="store_true")
+    ap.add_argument("--no-malloc-retain", action="store_true")
     args = ap.parse_args()
 
     root = ensure_dataset(Path(args.data), args.seqs, args.frames)
 
     from sast_tpu.config import get_config
     from sast_tpu.data.module import DataModule
+    from sast_tpu.utils.malloc import retain_freed_memory
+
+    # This process is loader-only (no XLA devices), so the arena-retention
+    # tuning is safe here; --no-malloc-retain measures the untuned default.
+    if not args.no_malloc_retain:
+        retain_freed_memory(force=True)
 
     cfg = get_config("gen1", "base")
     ds = dataclasses.replace(
