@@ -104,9 +104,13 @@ class RandomAccessSampler:
     def _fetch(self, k: int, aug_state, rng_seed: int = 0) -> dict:
         rng = np.random.RandomState(rng_seed)
         ri, oi = self.index[k]
-        ev, labels = self.readers[ri].random_access_sample(
-            oi, self.seq_len, self.only_load_end_labels
-        )
+        # Private read handle per fetch: lanes drawing from the same sequence
+        # must not serialize chunk decode on the reader's shared handle lock
+        # (same rationale as ClipIterator; open cost ~ms vs ~100 ms decode).
+        with self.readers[ri].open_handle() as f:
+            ev, labels = self.readers[ri].random_access_sample(
+                oi, self.seq_len, self.only_load_end_labels, file=f
+            )
         if self.augmentor is not None:
             ev, labels = self.augmentor.apply(aug_state, ev, labels, rng=rng)
         return {
@@ -127,7 +131,8 @@ class RandomAccessSampler:
         from concurrent.futures import ThreadPoolExecutor
 
         hw = self.readers[0].ev_repr_shape[1:]
-        with ThreadPoolExecutor(max_workers=self.batch_size) as pool:
+        pool = ThreadPoolExecutor(max_workers=self.batch_size)
+        try:
             while True:
                 # All randomness drawn on the main thread; threads only read.
                 jobs = []
@@ -140,6 +145,10 @@ class RandomAccessSampler:
                     jobs.append((self._draw(), state, self.rng.randint(2**31)))
                 futures = [pool.submit(self._fetch, k, s, r) for k, s, r in jobs]
                 yield [f.result() for f in futures]
+        finally:
+            # No blocking join: a GC'd generator at interpreter shutdown must
+            # not join worker threads inside teardown (same as streaming.py).
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class MixedSampler:

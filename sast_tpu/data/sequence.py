@@ -173,7 +173,11 @@ class SequenceReader:
         )
 
     def random_access_sample(
-        self, objframe_idx: int, seq_len: int, only_load_end_labels: bool = False
+        self,
+        objframe_idx: int,
+        seq_len: int,
+        only_load_end_labels: bool = False,
+        file: Optional[h5py.File] = None,
     ):
         """The seq_len reprs ending at labeled frame `objframe_idx`
         (sequence_rnd.py:43-75). ``objframe_idx`` is absolute (callers add
@@ -189,7 +193,7 @@ class SequenceReader:
             f"objframe {objframe_idx} (repr {end - 1}) cannot fit a "
             f"{seq_len}-long window; index from random_access_start_offset"
         )
-        ev = self.get_ev_repr(start, end)
+        ev = self.get_ev_repr(start, end, file=file)
         if only_load_end_labels:
             labels: List[Optional[FrameLabels]] = [None] * (seq_len - 1) + [
                 self.labels_at_repr_idx(end - 1)

@@ -55,6 +55,12 @@ def non_zero_ratio(x: jnp.ndarray, num_stages: int = 4) -> jnp.ndarray:
         # Floor odd extents like the reference's VALID-padding maxpool does
         # (identity slice when H, W divide k — the shipped configs round the
         # model resolution to multiples of 32, so this costs nothing there).
+        # Shapes are static under jit, so this check is a trace-time error,
+        # never a silent 0/0 -> NaN density.
+        assert H >= k and W >= k, (
+            f"input {x.shape} too small for the stage-{stage} pool factor {k} "
+            f"(needs H, W >= {4 * 2 ** (num_stages - 1)} overall)"
+        )
         pooled = pooled[:, : H // k * k, : W // k * k]
         pooled = pooled.reshape(B, H // k, k, W // k, k, C).max(axis=(2, 4))
         nz = jnp.sum((pooled != 0).astype(jnp.float32), axis=(1, 2))  # (B, C)

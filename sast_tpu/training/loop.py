@@ -178,12 +178,14 @@ class Trainer:
             print("no checkpoint found; starting fresh", file=sys.stderr)
             return
         if weights_only:
+            # Weights-only = a fresh run starting from old weights (fine-tune);
+            # its own best must not compete with the source run's history.
             self.state = self.ckpt.restore_weights(self.state)
         else:
+            # Full resume continues the SAME run: recover the historical best
+            # so it cannot re-alias 'best' onto a worse post-resume checkpoint.
             self.state = self.ckpt.restore(self.state)
-        # Recover the historical best so a resumed run cannot re-alias
-        # 'best' onto a strictly worse post-resume checkpoint.
-        self.best_val_ap = max(self.best_val_ap, self.ckpt.best_val_ap())
+            self.best_val_ap = max(self.best_val_ap, self.ckpt.best_val_ap())
         print(f"resumed from step {int(self.state.step)}", file=sys.stderr)
 
     def resume_from_artifact(self, artifact_name: str, weights_only: bool = False) -> bool:
@@ -202,7 +204,8 @@ class Trainer:
         self.state = (
             mgr.restore_weights(self.state) if weights_only else mgr.restore(self.state)
         )
-        self.best_val_ap = max(self.best_val_ap, mgr.best_val_ap())
+        if not weights_only:  # same-run continuation; see maybe_resume
+            self.best_val_ap = max(self.best_val_ap, mgr.best_val_ap())
         print(
             f"resumed from artifact {artifact_name} @ step {int(self.state.step)}",
             file=sys.stderr,

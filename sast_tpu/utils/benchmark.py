@@ -58,7 +58,7 @@ def sync_dispatch() -> float:
     return min(ts)
 
 
-def streaming_chunk(model, length: int, donate: bool = False):
+def streaming_chunk(model, length: int):
     """jitted ``run(variables, x, states)`` chaining ``length`` full-detector
     frames on device with ``lax.scan``.
 
@@ -90,7 +90,7 @@ def streaming_chunk(model, length: int, donate: bool = False):
         )
         return st, acc
 
-    return jax.jit(run, donate_argnums=(2,) if donate else ())
+    return jax.jit(run)
 
 
 def slope_time(make_fn, L1: int = 20, L2: int = 100, blocks: int = 3) -> float:

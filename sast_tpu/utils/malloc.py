@@ -51,7 +51,8 @@ def retain_freed_memory(limit_bytes: int = 1 << 30, force: bool = False) -> bool
         return True
     import os
 
-    if not force and not os.environ.get("SAST_TPU_MALLOC_RETAIN"):
+    env = os.environ.get("SAST_TPU_MALLOC_RETAIN", "").strip().lower()
+    if not force and env in ("", "0", "false", "no", "off"):
         return False
     try:
         import ctypes

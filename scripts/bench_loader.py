@@ -106,11 +106,18 @@ def main() -> None:
         batch_size_eval=args.batch_size,
     )
     B, T = args.batch_size, args.seq_len
-    need = 1.0 / DEVICE_STEP_S["gen1-base"]
+    # The OK/BOTTLENECK verdict only means something at the recipe geometry
+    # the 269 ms device step was measured at (B=8, T=21).
+    at_recipe_geometry = (B, T) == (8, 21)
+    need = 1.0 / DEVICE_STEP_S["gen1-base"] if at_recipe_geometry else None
     prefetch = not args.no_prefetch
     print(
-        f"# gen1-base loader: B={B} T={T} over {root} "
-        f"(prefetch={prefetch}); chip needs >= {need:.1f} batches/s",
+        f"# gen1-base loader: B={B} T={T} over {root} (prefetch={prefetch}); "
+        + (
+            f"chip needs >= {need:.1f} batches/s"
+            if need is not None
+            else "non-recipe geometry: rates reported without a verdict"
+        ),
         flush=True,
     )
 
@@ -124,11 +131,14 @@ def main() -> None:
         it = iter(dm.train_batches(prefetch=prefetch))
         bps, p50, p95 = time_iterator(it, args.batches)
         fps = bps * B * T
-        verdict = "OK" if bps >= need else "BOTTLENECK"
+        verdict = (
+            "" if need is None
+            else ("  [OK]" if bps >= need else "  [BOTTLENECK]")
+        )
         rows.append((f"train/{mode}", bps, fps, p50, p95, verdict))
         print(
             f"train/{mode:<7} {bps:7.2f} batches/s = {fps:7.0f} frames/s  "
-            f"p50 {p50:7.1f} ms  p95 {p95:7.1f} ms  [{verdict}]",
+            f"p50 {p50:7.1f} ms  p95 {p95:7.1f} ms{verdict}",
             flush=True,
         )
 

@@ -95,3 +95,13 @@ def test_non_zero_ratio_floors_odd_dims():
         pooled = pooled.reshape(Bp, Hp // k, k, Wp // k, k, Cp).max(axis=(2, 4))
         frac = (pooled != 0).sum(axis=(1, 2)) / (pooled.shape[1] * pooled.shape[2])
         np.testing.assert_allclose(r[:, s], frac, rtol=1e-6)
+
+
+def test_non_zero_ratio_rejects_sub_factor_extents():
+    """Extents below a stage's pool factor must fail loudly at trace time,
+    not propagate a silent 0/0 NaN density (round-3 review finding)."""
+    import pytest
+
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)  # 16 -> 4 -> 2 -> 1 < 2
+    with pytest.raises(AssertionError, match="too small"):
+        jax.jit(non_zero_ratio)(x)

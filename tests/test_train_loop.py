@@ -188,6 +188,12 @@ def test_resume_recovers_best_val_ap(tiny_cfg, tmp_path):
     fresh.maybe_resume(True)
     assert fresh.best_val_ap == 0.45  # 0.20 post-resume must NOT become 'best'
 
+    # Weights-only = a NEW run (fine-tune): it must track its own best, not
+    # inherit the source run's (else its best ckpt is never aliased).
+    ft = Trainer(tiny_cfg, workdir=workdir, log_every=1, val_every=None)
+    ft.maybe_resume(True, weights_only=True)
+    assert ft.best_val_ap == -1.0
+
 
 def test_fit_renders_gradflow_at_validation(tiny_cfg, tmp_path):
     """The gradient-flow figure (reference callbacks/gradflow.py) is rendered
