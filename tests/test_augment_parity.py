@@ -142,6 +142,18 @@ def test_zoom_in_labels_match_reference():
     assert len(ours) <= len(rows)
 
 
+@pytest.mark.parametrize("angle", [6.0, -4.5])
+def test_rotation_labels_match_reference(angle):
+    """Label rotation is pure torch in the reference (ObjectLabels.rotate_),
+    so it IS testable even though pixel rotation (torchvision) is not."""
+    rows = _rows(6, n=6)
+    ref = _ref_labels(rows)
+    ref.rotate_(angle)
+    ours = _our_labels(rows)
+    ours.rotate_(angle)
+    _assert_label_parity(ours, ref)
+
+
 def test_hflip_matches_reference():
     ev = _rand_ev(4)
     rows = _rows(5)
