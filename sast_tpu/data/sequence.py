@@ -111,6 +111,11 @@ class SequenceReader:
         else:
             with self._lock:
                 data = self._file()["data"][start:end]
+        if data.dtype == np.uint8:
+            from sast_tpu import native
+
+            # Cache-blocked C++ layout change (numpy fallback inside).
+            return native.transpose_tchw_to_thwc(data)
         return np.ascontiguousarray(np.transpose(data, (0, 2, 3, 1)))
 
     def open_handle(self) -> h5py.File:

@@ -58,6 +58,10 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.downsample2x_nearest_u8.argtypes = [
         u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p,
     ]
+    lib.transpose_tchw_to_thwc.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, u8p,
+    ]
     return lib
 
 
@@ -128,4 +132,21 @@ def downsample2x_nearest_u8(x: np.ndarray) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native library unavailable")
     lib.downsample2x_nearest_u8(np.ascontiguousarray(x), c, h, w, out)
+    return out
+
+
+def transpose_tchw_to_thwc(x: np.ndarray) -> np.ndarray:
+    """(T, C, H, W) uint8 -> contiguous (T, H, W, C) uint8.
+
+    Cache-friendly native path for the loader's disk-layout (NCHW chunks) ->
+    device-layout (NHWC) change; falls back to numpy when the toolchain is
+    unavailable.
+    """
+    assert x.dtype == np.uint8 and x.ndim == 4, (x.dtype, x.shape)
+    lib = get_lib()
+    if lib is None:
+        return np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+    t, c, h, w = x.shape
+    out = np.empty((t, h, w, c), np.uint8)
+    lib.transpose_tchw_to_thwc(np.ascontiguousarray(x), t, c, h, w, out)
     return out

@@ -116,4 +116,26 @@ void downsample2x_nearest_u8(const uint8_t* in, int32_t channels,
   }
 }
 
+// (T, C, H, W) uint8 -> (T, H, W, C): the loader's NCHW-on-disk to
+// NHWC-on-device layout change. The w-major inner walk keeps exactly C
+// source cache lines live (each 64-byte line serves 64 consecutive w), so
+// the copy runs at memory bandwidth instead of numpy's strided-copy rate.
+void transpose_tchw_to_thwc(const uint8_t* in, int32_t T, int32_t C,
+                            int32_t H, int32_t W, uint8_t* out) {
+  const int64_t HW = (int64_t)H * W;
+  for (int32_t t = 0; t < T; ++t) {
+    const uint8_t* src = in + (int64_t)t * C * HW;
+    uint8_t* dst = out + (int64_t)t * HW * C;
+    for (int32_t h = 0; h < H; ++h) {
+      const uint8_t* srow = src + (int64_t)h * W;
+      uint8_t* drow = dst + (int64_t)h * W * C;
+      for (int32_t w = 0; w < W; ++w) {
+        const uint8_t* s = srow + w;
+        uint8_t* d = drow + (int64_t)w * C;
+        for (int32_t c = 0; c < C; ++c) d[c] = s[(int64_t)c * HW];
+      }
+    }
+  }
+}
+
 }  // extern "C"

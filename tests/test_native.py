@@ -79,3 +79,14 @@ def test_native_histogram_speed():
     finally:
         nat.available = orig
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def test_transpose_tchw_to_thwc_matches_numpy():
+    from sast_tpu import native
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 255, (3, 20, 17, 31)).astype(np.uint8)
+    ref = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+    got = native.transpose_tchw_to_thwc(x)
+    assert got.flags.c_contiguous
+    np.testing.assert_array_equal(got, ref)
