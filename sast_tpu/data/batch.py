@@ -125,6 +125,7 @@ class Prefetcher:
         self._it = iter(iterable)
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._exc: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -132,6 +133,8 @@ class Prefetcher:
         try:
             for item in self._it:
                 self._q.put(item)
+        except BaseException as e:  # noqa: BLE001 - re-raised on the consumer
+            self._exc = e
         finally:
             self._q.put(self._done)
 
@@ -139,5 +142,10 @@ class Prefetcher:
         while True:
             item = self._q.get()
             if item is self._done:
+                if self._exc is not None:
+                    # A producer crash must fail the consumer loudly, not
+                    # masquerade as normal end-of-data (a training run would
+                    # otherwise silently stop mid-epoch and "succeed").
+                    raise self._exc
                 return
             yield item

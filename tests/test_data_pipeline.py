@@ -157,3 +157,28 @@ def test_eval_batches_end_to_end(dataset_root):
         n += 1
         assert batch["ev_repr"].shape[1] == cfg.training.batch_size_eval
     assert n > 0
+
+
+def test_prefetcher_propagates_producer_exception():
+    """A loader crash must fail the training loop loudly, not end the batch
+    stream as if the data ran out (silent mid-epoch stop)."""
+    import pytest
+
+    from sast_tpu.data.batch import Prefetcher
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("loader crashed")
+
+    it = iter(Prefetcher(gen()))
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="loader crashed"):
+        next(it)
+
+
+def test_prefetcher_clean_end():
+    from sast_tpu.data.batch import Prefetcher
+
+    assert list(Prefetcher(iter([1, 2, 3]))) == [1, 2, 3]
