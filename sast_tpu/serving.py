@@ -30,6 +30,28 @@ from sast_tpu.ops.nms import postprocess
 from sast_tpu.utils.padding import InputPadder, padding_token_mask
 
 
+def pack_events(
+    x: np.ndarray,
+    y: np.ndarray,
+    p: np.ndarray,
+    t: np.ndarray,
+    max_events: int,
+) -> Tuple[np.ndarray, int]:
+    """Pack one frame's raw event arrays into the static (E, 4) int32 layout.
+
+    Shared by the live detector and the exported-artifact runtime so both
+    ship identical bytes to the device.
+    """
+    n = int(x.size)
+    assert n <= max_events, f"{n} events exceed budget {max_events}"
+    packed = np.zeros((max_events, 4), np.int32)
+    packed[:n, 0] = x[:n]
+    packed[:n, 1] = y[:n]
+    packed[:n, 2] = p[:n]
+    packed[:n, 3] = t[:n]
+    return packed, n
+
+
 class StreamingDetector:
     """Single-stream online detector with on-device tensorization.
 
@@ -104,6 +126,9 @@ class StreamingDetector:
             )
             return dets, new_states, p_tel
 
+        # Unjitted step kept for AOT export (sast_tpu/export.py binds the
+        # weights as baked constants and re-jits with state donation).
+        self._step_fn = step
         self._step = jax.jit(step, donate_argnums=(1,))
 
     def reset(self) -> None:
@@ -123,16 +148,7 @@ class StreamingDetector:
         t: np.ndarray,
     ) -> Dict[str, np.ndarray]:
         """One frame window of raw (sorted-by-time) events -> detections."""
-        n = int(x.size)
-        assert n <= self.max_events, f"{n} events exceed budget {self.max_events}"
-        E = self.max_events
-
-        packed = np.zeros((E, 4), np.int32)
-        packed[:n, 0] = x[:n]
-        packed[:n, 1] = y[:n]
-        packed[:n, 2] = p[:n]
-        packed[:n, 3] = t[:n]
-
+        packed, n = pack_events(x, y, p, t, self.max_events)
         dets, self.states, p_tel = self._step(
             self.variables,
             self.states,
