@@ -125,5 +125,24 @@ class CheckpointManager:
             state = state.replace(ema_params=restored["ema_params"])
         return state
 
+    def restore_raw(self, step: Optional[int] = None) -> Dict[str, Any]:
+        """Template-free restore of the saved payload as host numpy arrays
+        (shapes/dtypes from checkpoint metadata; the shardings recorded at
+        save time are ignored, so a checkpoint written on TPU loads anywhere).
+        For tools that need weights without building a model/optimizer first
+        (e.g. scripts/export_model.py); prefers the best-AP checkpoint like
+        ``restore_weights``."""
+        import numpy as np
+
+        step = step if step is not None else self._mgr.best_step() or self._mgr.latest_step()
+        assert step is not None, "no checkpoint to restore"
+        path = os.path.join(self.directory, str(step), "state")
+        # Build a host-numpy template from the checkpoint's own metadata so
+        # the restore is device-free (the manager-level restore would try to
+        # re-create the shardings recorded at save time).
+        meta = ocp.PyTreeCheckpointer().metadata(path).item_metadata.tree
+        template = jax.tree.map(lambda m: np.zeros(m.shape, m.dtype), meta)
+        return ocp.StandardCheckpointer().restore(path, target=template)
+
     def close(self) -> None:
         self._mgr.close()
