@@ -328,9 +328,16 @@ class Trainer:
         eval_loader_fn: Optional[Callable[[], Iterable[dict]]] = None,
         max_steps: Optional[int] = None,
         eval_max_batches: Optional[int] = None,
+        profile_steps: Optional[tuple] = None,
     ) -> Dict[str, float]:
+        """``profile_steps=(first, last)`` captures a ``jax.profiler`` trace
+        of those training steps (inclusive) into ``<workdir>/trace`` — the
+        TPU-native replacement for the reference's CudaTimer wrapping
+        (utils/timers.py:12-95); view with TensorBoard/xprof."""
         cfg = self.cfg
         max_steps = max_steps or cfg.training.max_steps
+        prof_first, prof_last = profile_steps or (None, None)
+        profiling = False
         lstm = None
         last_metrics: Dict[str, float] = {}
         t_last = time.time()
@@ -348,8 +355,17 @@ class Trainer:
             device_batch = self._put_batch(device_batch)
             if lstm is None:
                 lstm = self._zero_states(device_batch["ev_repr"].shape[1])
+            if prof_first is not None and step + 1 == prof_first and not profiling:
+                jax.profiler.start_trace(os.path.join(self.workdir, "trace"))
+                profiling = True
             self.state, lstm, metrics = self.train_step(self.state, device_batch, lstm)
             step += 1
+            if profiling and step >= prof_last:
+                # Block so the traced window contains completed device work,
+                # not just async dispatches.
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
 
             if step % self.log_every == 0 or step == 1:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -418,6 +434,9 @@ class Trainer:
             elif self.ckpt_every is not None and step % self.ckpt_every == 0:
                 self.ckpt.save(step, self.state, metrics={})
                 last_ckpt_step = step
+
+        if profiling:  # loop ended inside the requested window
+            jax.profiler.stop_trace()
 
         # Persist the final state even when max_steps is not aligned with
         # val_every/ckpt_every (a run must never end without its last state).

@@ -38,9 +38,17 @@ def test_fit_and_validate(tiny_cfg, tmp_path):
         tiny_cfg, workdir=str(tmp_path / "run"), log_every=1, val_every=None
     )
     metrics = trainer.fit(
-        dm.train_batches(prefetch=False), max_steps=2
+        dm.train_batches(prefetch=False), max_steps=2, profile_steps=(2, 2)
     )
     assert np.isfinite(metrics["train/loss"])
+
+    # --profile-steps captured a jax.profiler trace of step 2
+    import glob
+
+    xplanes = glob.glob(
+        str(tmp_path / "run" / "trace" / "**" / "*.xplane.pb"), recursive=True
+    )
+    assert xplanes, "profiler trace not written"
 
     val = trainer.validate(dm.eval_batches("val", prefetch=False), max_batches=4)
     assert "val/AP" in val

@@ -61,6 +61,11 @@ def main() -> None:
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--val-every", type=int, default=10_000)
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument(
+        "--profile-steps", metavar="FIRST:LAST", default=None,
+        help="capture a jax.profiler trace of these training steps "
+        "(inclusive) into <workdir>/trace; view with TensorBoard/xprof",
+    )
     args = ap.parse_args()
     if args.wandb_runpath and not args.wandb:
         # Asking to resume a W&B run implies W&B logging; a silent no-op here
@@ -146,10 +151,16 @@ def main() -> None:
 
     # NOTE: like the reference (modules/data/genx.py:161-162), validation
     # during fit streams the *test* split.
+    profile_steps = None
+    if args.profile_steps:
+        first, _, last = args.profile_steps.partition(":")
+        profile_steps = (int(first), int(last or first))
+
     trainer.fit(
         dm.train_batches(seed=cfg.training.seed or 0),
         eval_loader_fn=lambda: dm.eval_batches("test"),
         max_steps=args.max_steps,
+        profile_steps=profile_steps,
     )
 
 
