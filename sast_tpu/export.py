@@ -67,16 +67,18 @@ def export_streaming_detector(
 
     # Bind the weights as a closure constant; the carried state (arg 0) is
     # donated exactly as in the live detector's jitted step.
-    def deploy_step(states, packed, n_events):
-        return step_fn(variables, states, packed, n_events)
+    def deploy_step(states, packed, n_events, reset):
+        return step_fn(variables, states, packed, n_events, reset)
 
     jitted = jax.jit(deploy_step, donate_argnums=(0,))
 
+    S = det.num_streams
     state_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), det.states
     )
-    packed_spec = jax.ShapeDtypeStruct((det.max_events, 4), jnp.int32)
-    n_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    packed_spec = jax.ShapeDtypeStruct((S, det.max_events, 4), jnp.int32)
+    n_spec = jax.ShapeDtypeStruct((S,), jnp.int32)
+    reset_spec = jax.ShapeDtypeStruct((S,), jnp.bool_)
 
     kwargs = {}
     if platforms is not None:
@@ -85,7 +87,9 @@ def export_streaming_detector(
         kwargs["disabled_checks"] = [
             jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
         ]
-    exported = jexport.export(jitted, **kwargs)(state_specs, packed_spec, n_spec)
+    exported = jexport.export(jitted, **kwargs)(
+        state_specs, packed_spec, n_spec, reset_spec
+    )
     blob = exported.serialize()
 
     if path is not None:
@@ -118,21 +122,47 @@ class ExportedStreamingDetector:
         self._fn = jax.jit(self._exported.call)
 
         # Rebuild the input pytree from the embedded signature:
-        # in_tree is the treedef of ((states, packed, n_events), {}).
+        # in_tree is the treedef of ((states, packed, n_events, reset), {}).
         leaves = [
             np.zeros(a.shape, a.dtype) for a in self._exported.in_avals
         ]
         (args, _kwargs) = jax.tree_util.tree_unflatten(
             self._exported.in_tree, leaves
         )
-        states_zero, packed_zero, _ = args
+        states_zero, packed_zero, _, _ = args
         self._states_zero = states_zero
-        self.max_events = int(packed_zero.shape[0])
+        self.num_streams = int(packed_zero.shape[0])
+        self.max_events = int(packed_zero.shape[1])
         self.states = jax.tree.map(jnp.asarray, states_zero)
 
     def reset(self) -> None:
-        """Zero the carried recurrent state (stream boundary)."""
+        """Zero the carried recurrent state of every lane (per-lane resets
+        go through ``process_batch``'s ``reset`` mask)."""
         self.states = jax.tree.map(jnp.asarray, self._states_zero)
+
+    def process_batch(
+        self,
+        frames,
+        reset: "np.ndarray | None" = None,
+    ) -> Dict[str, np.ndarray]:
+        """One frame window per lane -> batched detections (same contract
+        as ``StreamingDetector.process_batch``)."""
+        S = self.num_streams
+        assert len(frames) == S, (len(frames), S)
+        packed = np.zeros((S, self.max_events, 4), np.int32)
+        n = np.zeros((S,), np.int32)
+        for i, f in enumerate(frames):
+            packed[i], n[i] = pack_events(
+                f["x"], f["y"], f["p"], f["t"], self.max_events
+            )
+        reset = (
+            np.zeros((S,), bool) if reset is None else np.asarray(reset, bool)
+        )
+        dets, self.states, p_tel = self._fn(
+            self.states, jnp.asarray(packed), jnp.asarray(n), jnp.asarray(reset)
+        )
+        out = jax.device_get(dets)
+        return dict(out) | {"selected_tokens": np.asarray(p_tel)}
 
     def process_events(
         self,
@@ -142,11 +172,7 @@ class ExportedStreamingDetector:
         t: np.ndarray,
     ) -> Dict[str, np.ndarray]:
         """One frame window of raw (sorted-by-time) events -> detections."""
-        packed, n = pack_events(x, y, p, t, self.max_events)
-        dets, self.states, p_tel = self._fn(
-            self.states, jnp.asarray(packed), jnp.asarray(n, jnp.int32)
-        )
-        out = jax.device_get(dets)
-        return {k: v[0] for k, v in out.items()} | {
-            "selected_tokens": np.asarray(p_tel)
-        }
+        assert self.num_streams == 1, "use process_batch with num_streams > 1"
+        out = self.process_batch([dict(x=x, y=y, p=p, t=t)])
+        tel = out.pop("selected_tokens")
+        return {k: v[0] for k, v in out.items()} | {"selected_tokens": tel}

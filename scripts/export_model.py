@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="artifact output directory")
     ap.add_argument("--max-events", type=int, default=200_000,
                     help="static per-frame event budget")
+    ap.add_argument("--num-streams", type=int, default=1,
+                    help="parallel stream lanes baked into the artifact")
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms (e.g. cpu,tpu); "
                     "default: current backend only")
@@ -80,7 +82,10 @@ def main() -> None:
         params = payload.get("ema_params") or payload["params"]
         variables = {"params": params, "batch_stats": payload["batch_stats"]}
 
-    det = StreamingDetector(cfg, variables, max_events=args.max_events)
+    det = StreamingDetector(
+        cfg, variables, max_events=args.max_events,
+        num_streams=args.num_streams,
+    )
     platforms = args.platforms.split(",") if args.platforms else None
     blob = export_streaming_detector(
         det,
@@ -91,7 +96,7 @@ def main() -> None:
     print(
         f"wrote {os.path.join(args.out, 'streaming_step.jaxexport')} "
         f"({len(blob) / 1e6:.1f} MB, max_events={args.max_events}, "
-        f"platforms={platforms or 'current'})"
+        f"num_streams={args.num_streams}, platforms={platforms or 'current'})"
     )
 
 

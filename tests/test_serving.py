@@ -60,3 +60,61 @@ def test_streaming_detector_end_to_end():
         x=np.array([10]), y=np.array([10]), p=np.array([1]), t=np.array([0])
     )
     assert np.isfinite(out_reset["scores"]).all()
+
+
+def _rand_frame(rng, i):
+    n = rng.randint(300, 1200)
+    return dict(
+        x=rng.randint(0, 304, n),
+        y=rng.randint(0, 240, n),
+        p=rng.randint(0, 2, n),
+        t=np.sort(rng.randint(0, 50_000, n)) + i * 50_000,
+    )
+
+
+def test_batched_streams_match_independent_single_streams():
+    """S lanes in one program == S independent single-stream detectors,
+    including a mid-stream per-lane reset through the device-side mask."""
+    import dataclasses
+
+    from sast_tpu.config import get_test_config
+
+    cfg = get_test_config()
+    ds = dataclasses.replace(cfg.dataset, name="gen1")
+    cfg = dataclasses.replace(cfg, dataset=ds)
+    bb = dataclasses.replace(
+        cfg.model.backbone, in_res_hw=(256, 320),
+        attention=dataclasses.replace(cfg.model.backbone.attention,
+                                      partition_size=(4, 5)),
+    )
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, backbone=bb))
+
+    model = YoloXDetector(cfg.model)
+    import jax.numpy as jnp
+
+    x0 = jnp.zeros((1, 256, 320, 20), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x0, zero_states(cfg.model.backbone, 1)
+    )
+
+    rng = np.random.RandomState(1)
+    lanes = [[_rand_frame(rng, i) for i in range(3)] for _ in range(2)]
+
+    batched = StreamingDetector(cfg, variables, max_events=4000, num_streams=2)
+    singles = [
+        StreamingDetector(cfg, variables, max_events=4000) for _ in range(2)
+    ]
+
+    for i in range(3):
+        # lane 1 restarts its stream at frame 2
+        reset = np.array([False, i == 2])
+        out_b = batched.process_batch([lanes[0][i], lanes[1][i]], reset=reset)
+        if i == 2:
+            singles[1].reset()
+        for lane, det in enumerate(singles):
+            out_s = det.process_events(**lanes[lane][i])
+            for k in ("boxes", "scores", "classes", "valid"):
+                np.testing.assert_array_equal(
+                    np.asarray(out_b[k][lane]), np.asarray(out_s[k]),
+                    err_msg=f"frame {i} lane {lane} {k}",
+                )
