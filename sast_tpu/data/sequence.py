@@ -77,7 +77,17 @@ class SequenceReader:
         }
         with h5py.File(str(self.ev_repr_file), "r") as f:
             self.num_ev_repr = f["data"].shape[0]
-            self.ev_repr_shape = f["data"].shape[1:]  # (C, H, W) on disk
+            # Per-frame layout on disk: "TCHW" (reference-compatible
+            # default) or "THWC" (our preprocess --layout thwc: the model's
+            # NHWC layout written once offline so the loader never
+            # transposes). ev_repr_shape is normalized to (C, H, W).
+            layout = f["data"].attrs.get("layout", "TCHW")
+            if isinstance(layout, bytes):
+                layout = layout.decode()
+            assert layout in ("TCHW", "THWC"), layout
+            self._disk_layout = layout
+            s = f["data"].shape[1:]
+            self.ev_repr_shape = (s[2], s[0], s[1]) if layout == "THWC" else s
         self._h5: Optional[h5py.File] = None
         # h5py handles are not thread-safe; batch lanes fetching in parallel
         # (data/streaming.py) serialize per sequence through this lock.
@@ -107,10 +117,12 @@ class SequenceReader:
         of serializing on the shared handle's lock."""
         assert 0 <= start < end <= self.num_ev_repr
         if file is not None:
-            data = file["data"][start:end]  # (T, C, H, W)
+            data = file["data"][start:end]  # per-frame layout: _disk_layout
         else:
             with self._lock:
                 data = self._file()["data"][start:end]
+        if self._disk_layout == "THWC":
+            return data  # already the model layout; no per-batch transpose
         if data.dtype == np.uint8:
             from sast_tpu import native
 

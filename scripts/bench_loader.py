@@ -31,7 +31,7 @@ DEVICE_STEP_S = {  # measured post-cliff device train-step times (README)
 }
 
 
-def ensure_dataset(path: Path, seqs: int, frames: int) -> Path:
+def ensure_dataset(path: Path, seqs: int, frames: int, layout: str = "tchw") -> Path:
     if (path / "train").is_dir():
         return path
     print(f"generating synthetic dataset at {path} ...", file=sys.stderr)
@@ -44,6 +44,7 @@ def ensure_dataset(path: Path, seqs: int, frames: int) -> Path:
             str(path),
             "--seqs", str(seqs),
             "--frames", str(frames),
+            "--layout", layout,
         ],
         check=True,
         stdout=subprocess.DEVNULL,
@@ -79,10 +80,15 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=21)
     ap.add_argument("--no-prefetch", action="store_true")
+    ap.add_argument("--layout", choices=("tchw", "thwc"), default="tchw",
+                    help="on-disk per-frame layout of the generated dataset")
     ap.add_argument("--no-malloc-retain", action="store_true")
     args = ap.parse_args()
 
-    root = ensure_dataset(Path(args.data), args.seqs, args.frames)
+    data_dir = args.data
+    if args.layout != "tchw" and data_dir == "/tmp/sast_loader_bench_data":
+        data_dir += f"_{args.layout}"  # don't mix layouts in one default dir
+    root = ensure_dataset(Path(data_dir), args.seqs, args.frames, args.layout)
 
     from sast_tpu.config import get_config
     from sast_tpu.data.module import DataModule

@@ -60,7 +60,8 @@ def _render_frame(rng, objs, noise_p=0.002):
     return np.clip(frame, 0, 255)
 
 
-def make_sequence(seq_dir: Path, repr_name: str, num_frames: int, seed: int):
+def make_sequence(seq_dir: Path, repr_name: str, num_frames: int, seed: int,
+                  layout: str = "tchw"):
     import h5py
 
     rng = np.random.RandomState(seed)
@@ -110,10 +111,13 @@ def make_sequence(seq_dir: Path, repr_name: str, num_frames: int, seed: int):
                     (ts, o["x"], o["y"], o["w"], o["h"], o["cls"], 1.0)
                 )
 
+    if layout == "thwc":
+        data = np.ascontiguousarray(np.transpose(data, (0, 2, 3, 1)))
     with h5py.File(str(ev_dir / "event_representations.h5"), "w") as f:
-        f.create_dataset(
-            "data", data=data, chunks=(1, 2 * BINS, H, W), compression="lzf"
+        dset = f.create_dataset(
+            "data", data=data, chunks=(1, *data.shape[1:]), compression="lzf"
         )
+        dset.attrs["layout"] = "THWC" if layout == "thwc" else "TCHW"
     np.save(str(ev_dir / "objframe_idx_2_repr_idx.npy"),
             np.asarray(labeled, np.int64))
     np.save(str(ev_dir / "timestamps_us.npy"),
@@ -135,6 +139,7 @@ def main():
     ap.add_argument(
         "--repr-name", default="stacked_histogram_dt=50_nbins=10"
     )
+    ap.add_argument("--layout", choices=("tchw", "thwc"), default="tchw")
     args = ap.parse_args()
 
     root = Path(args.out)
@@ -145,7 +150,8 @@ def main():
     ):
         for i in range(n):
             seq = root / split / f"synth_{i:03d}"
-            make_sequence(seq, args.repr_name, args.frames, base_seed + i)
+            make_sequence(seq, args.repr_name, args.frames, base_seed + i,
+                          layout=args.layout)
             print(f"{split}/synth_{i:03d}", flush=True)
 
 

@@ -299,7 +299,13 @@ def write_event_representations(
     delta_ts_ms: Optional[int],
     num_events: Optional[int],
     downsample_by_2: bool,
+    layout: str = "tchw",
 ) -> None:
+    """``layout='thwc'`` stores frames in the model's NHWC layout (with a
+    ``layout`` HDF5 attribute the reader keys on) so the training loader
+    never pays the per-batch TCHW->THWC transpose — the conversion runs
+    once here instead. 'tchw' keeps the reference on-disk contract
+    (sequence_base.py:88-98 expects channel-first)."""
     suffix = "_ds2_nearest" if downsample_by_2 else ""
     outfile = ev_out_dir / f"event_representations{suffix}.h5"
     if outfile.exists():
@@ -308,9 +314,12 @@ def write_event_representations(
     if in_progress.exists():
         os.remove(in_progress)
 
+    assert layout in ("tchw", "thwc"), layout
     shape = tuple(representation.get_shape())
     if downsample_by_2:
         shape = (shape[0], shape[1] // 2, shape[2] // 2)
+    if layout == "thwc":
+        shape = (shape[1], shape[2], shape[0])
     dtype = representation.get_numpy_dtype()
 
     with RawEventReader(in_h5, dataset) as reader, h5py.File(
@@ -323,6 +332,7 @@ def write_event_representations(
             chunks=(1, *shape),
             **_compression_opts(),
         )
+        dset.attrs["layout"] = "THWC" if layout == "thwc" else "TCHW"
         ev_ts = reader.time
         end_idx = np.searchsorted(ev_ts, ev_repr_timestamps_us, side="right")
         if num_events is not None:
@@ -336,6 +346,8 @@ def write_event_representations(
             rep = representation.construct(win["x"], win["y"], win["p"], win["t"])
             if downsample_by_2:
                 rep = downsample_ev_repr_by2(rep)
+            if layout == "thwc":
+                rep = np.ascontiguousarray(np.transpose(rep, (1, 2, 0)))
             dset[i] = rep
     os.rename(in_progress, outfile)
 
@@ -401,6 +413,7 @@ def process_sequence(task) -> str:
         delta_ts_ms=None if num_events else args.dt_ms,
         num_events=num_events,
         downsample_by_2=args.downsample_by_2,
+        layout=getattr(args, "layout", "tchw"),
     )
     return f"{out_seq_dir.name}: ok ({len(ev_ts)} reprs, {len(frame_ts)} frames)"
 
@@ -434,6 +447,10 @@ def main() -> None:
                          "overrides the duration window)")
     ap.add_argument("--downsample-by-2", action="store_true",
                     help="additionally write the _ds2_nearest variant (gen4)")
+    ap.add_argument("--layout", choices=("tchw", "thwc"), default="tchw",
+                    help="per-frame on-disk layout: tchw = reference-"
+                    "compatible channel-first; thwc = model NHWC layout "
+                    "(skips the loader's per-batch transpose)")
     ap.add_argument("--no-psee-filter", action="store_true")
     ap.add_argument("--no-faulty-filter", action="store_true")
     ap.add_argument("-np", "--num-processes", type=int, default=1)

@@ -45,8 +45,10 @@ LABEL_DTYPE = np.dtype(
 )
 
 
-def make_sequence(root, name, num_repr, labeled_reprs, seed=0, hw=(240, 304), ch=4):
-    """Create one synthetic sequence dir in the reference on-disk layout."""
+def make_sequence(root, name, num_repr, labeled_reprs, seed=0, hw=(240, 304), ch=4,
+                  layout="tchw"):
+    """Create one synthetic sequence dir in the reference on-disk layout
+    (or the optional THWC layout when ``layout='thwc'``)."""
     import h5py
 
     H, W = hw
@@ -57,8 +59,11 @@ def make_sequence(root, name, num_repr, labeled_reprs, seed=0, hw=(240, 304), ch
     (seq / "labels_v2").mkdir(parents=True)
 
     data = (rng.rand(num_repr, ch, H, W) * 4).astype(np.uint8)
+    if layout == "thwc":
+        data = np.ascontiguousarray(np.transpose(data, (0, 2, 3, 1)))
     with h5py.File(str(ev_dir / "event_representations.h5"), "w") as f:
-        f.create_dataset("data", data=data, chunks=(1, ch, H, W))
+        dset = f.create_dataset("data", data=data, chunks=(1, *data.shape[1:]))
+        dset.attrs["layout"] = "THWC" if layout == "thwc" else "TCHW"
     np.save(str(ev_dir / "objframe_idx_2_repr_idx.npy"), np.asarray(labeled_reprs))
     np.save(
         str(ev_dir / "timestamps_us.npy"),

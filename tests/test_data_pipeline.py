@@ -182,3 +182,24 @@ def test_prefetcher_clean_end():
     from sast_tpu.data.batch import Prefetcher
 
     assert list(Prefetcher(iter([1, 2, 3]))) == [1, 2, 3]
+
+
+def test_thwc_disk_layout_reader_equivalence(tmp_path):
+    """A dataset stored THWC (preprocess --layout thwc) reads back
+    identically to the reference-compatible TCHW layout — the loader just
+    skips its per-batch transpose."""
+    from tests.conftest import make_sequence
+
+    a = tmp_path / "tchw"
+    b = tmp_path / "thwc"
+    a.mkdir()
+    b.mkdir()
+    make_sequence(a, "seq", 12, [3, 7, 11], seed=5, layout="tchw")
+    make_sequence(b, "seq", 12, [3, 7, 11], seed=5, layout="thwc")
+
+    ra = SequenceReader(a / "seq", "test_repr", "gen1")
+    rb = SequenceReader(b / "seq", "test_repr", "gen1")
+    assert ra.ev_repr_shape == rb.ev_repr_shape == (C, H, W)
+    np.testing.assert_array_equal(ra.get_ev_repr(0, 12), rb.get_ev_repr(0, 12))
+    np.testing.assert_array_equal(ra.get_ev_repr(3, 7), rb.get_ev_repr(3, 7))
+    assert rb.get_ev_repr(0, 4).shape == (4, H, W, C)

@@ -111,11 +111,13 @@ def test_downsample_int8_offset_trick():
     assert out[0, 0, 0] == x[0, 1, 1]
 
 
-def test_process_sequence_end_to_end(raw_root, tmp_path):
+@pytest.mark.parametrize("layout", ["tchw", "thwc"])
+def test_process_sequence_end_to_end(raw_root, tmp_path, layout):
     out_seq = tmp_path / "out" / "train" / "seq0"
     args = dict(
         repr="stacked_histogram", nbins=10, count_cutoff=10, dt_ms=50,
         downsample_by_2=False, no_psee_filter=False, no_faulty_filter=False,
+        layout=layout,
     )
     msg = process_sequence(
         (raw_root / "train" / "seq0_bbox.npy",
