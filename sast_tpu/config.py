@@ -318,7 +318,10 @@ def resolve_config(cfg: ExperimentConfig) -> ExperimentConfig:
 
 _SIZE_OVERLAYS: Dict[str, Dict[str, Any]] = {
     "tiny": {"embed_dim": 32, "fpn_depth": 0.33},
-    "small": {"embed_dim": 48, "fpn_depth": 0.33},
+    # small overrides dim_head to 24 (reference
+    # config/experiment/{gen1,gen4}/small.yaml:10): embed 48 is not
+    # divisible by the default dim_head 32 — stage 1 would get 1.5 heads.
+    "small": {"embed_dim": 48, "fpn_depth": 0.33, "dim_head": 24},
     "base": {"embed_dim": 64, "fpn_depth": 0.67},
     "large": {"embed_dim": 96, "fpn_depth": 0.67},
 }
@@ -349,6 +352,13 @@ def get_config(dataset: str = "gen1", size: str = "base", **overrides: Any) -> E
         )
 
     backbone = BackboneConfig(embed_dim=overlay["embed_dim"], partition_split_32=split)
+    if "dim_head" in overlay:
+        backbone = dataclasses.replace(
+            backbone,
+            attention=dataclasses.replace(
+                backbone.attention, dim_head=overlay["dim_head"]
+            ),
+        )
     model = ModelConfig(backbone=backbone, fpn=FpnConfig(depth=overlay["fpn_depth"]))
     cfg = ExperimentConfig(dataset=ds, model=model, training=train)
     cfg = _apply_overrides(cfg, overrides)

@@ -215,6 +215,11 @@ class MaskedSparseAttention(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         B, N, hw, C = x.shape
+        assert self.dim % self.dim_head == 0, (
+            f"attention dim {self.dim} must divide by dim_head "
+            f"{self.dim_head} (the reference's small preset sets "
+            f"dim_head=24 for embed 48 — config/experiment/*/small.yaml:10)"
+        )
         num_heads = self.dim // self.dim_head
         inner_dim = max(32, math.floor(C * self.mlp_ratio * 2 / 3 / 32) * 32)
 

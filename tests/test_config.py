@@ -1,5 +1,7 @@
 """Config derivation semantics (reference: config/modifier.py:10-48)."""
 
+import numpy as np
+
 from sast_tpu.config import get_config, get_test_config
 
 
@@ -60,3 +62,38 @@ def test_labeled_frame_budget_covers_presets():
             assert cfg.training.max_labeled_frames_per_lane >= worst, (
                 name, size, T, worst, cfg.training.max_labeled_frames_per_lane
             )
+
+
+def test_small_preset_overrides_dim_head():
+    """Reference small overlay sets dim_head=24 (embed 48 is not divisible
+    by the default 32; config/experiment/gen1/small.yaml:10)."""
+    cfg = get_config("gen1", "small")
+    assert cfg.model.backbone.attention.dim_head == 24
+    assert cfg.model.backbone.embed_dim == 48
+
+
+def test_presets_init_abstractly():
+    """eval_shape through model.init catches head-split/reshape errors for
+    the presets no other test compiles (regression: gen1-small failed its
+    stage-1 qkv reshape before the dim_head=24 overlay was wired)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sast_tpu.models.backbone import zero_states
+    from sast_tpu.models.detector import YoloXDetector
+
+    for dsn, size in (("gen1", "small"), ("gen4", "large")):
+        cfg = get_config(dsn, size)
+        bb = cfg.model.backbone
+        model = YoloXDetector(cfg.model)
+        x = jax.ShapeDtypeStruct(
+            (1, *bb.in_res_hw, bb.input_channels), jnp.float32
+        )
+        states = jax.eval_shape(lambda: zero_states(bb, 1))
+        variables = jax.eval_shape(
+            lambda xx, s: model.init(jax.random.PRNGKey(0), xx, s), x, states
+        )
+        n = sum(
+            int(np.prod(l.shape)) for l in jax.tree.leaves(variables["params"])
+        )
+        assert n > 1_000_000, (dsn, size, n)
