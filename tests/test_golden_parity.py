@@ -73,3 +73,43 @@ def test_multi_label_clip_loss_matches(parity_report):
     ):
         assert parity_report[k] <= 1e-4, (k, parity_report[k])
     assert parity_report["multiloss/num_fg"] <= 1e-6
+
+
+@pytest.fixture(scope="module")
+def parity_report_small_geometry():
+    """Small-preset attention geometry (embed 48, dim_head 24 -> 2 heads)
+    at the fast test resolution — regression coverage for the dim_head
+    overlay (reference config/experiment/gen1/small.yaml:10), which no
+    other parity run exercises (test/base geometries use 1-head stages
+    whose head-split reshape cannot catch head-count bugs)."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference implementation not present")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+    )
+    import dataclasses
+
+    from golden_parity import run_parity
+
+    from sast_tpu.config import get_test_config
+
+    cfg = get_test_config()
+    bb = cfg.model.backbone
+    bb = dataclasses.replace(
+        bb,
+        embed_dim=48,
+        attention=dataclasses.replace(bb.attention, dim_head=24),
+    )
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, backbone=bb))
+    return run_parity(cfg, B=2, T=2, seed=3, verbose=False)
+
+
+def test_small_geometry_parity(parity_report_small_geometry):
+    rep = parity_report_small_geometry
+    for k in rep:
+        if k.startswith("backbone/") and "stage" in k:
+            assert rep[k] <= 1e-4, (k, rep[k])
+        if k.endswith("/P"):
+            assert rep[k] == 0.0, (k, rep[k])
+    assert rep["detect/preds"] <= 1e-4
+    assert rep["loss/loss"] <= 1e-4
