@@ -77,6 +77,11 @@ class StreamingDetector:
         bins: int = 10,
         count_cutoff: int = 10,
         num_streams: int = 1,
+        # Shard the stream lanes over a device mesh (pod serving): lanes,
+        # carried state, and the packed event upload are partitioned on the
+        # lane axis; weights are replicated; nothing crosses lanes, so XLA
+        # inserts no collectives in the hot path.
+        mesh=None,
         # XLA masked path by default: clean (fetch-free) measurement shows
         # the batched dense formulation beats the window-skipping kernel at
         # every density on v5e (scripts/bench_sparse_layer.py; the round-1
@@ -88,6 +93,12 @@ class StreamingDetector:
         self.cfg = cfg
         self.max_events = max_events
         self.num_streams = num_streams
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            assert num_streams % n_dev == 0, (
+                f"num_streams={num_streams} must tile the {n_dev}-device mesh"
+            )
         bb = cfg.model.backbone
         assert bb.input_channels == 2 * bins, (bb.input_channels, bins)
         self.native_hw = cfg.dataset.resolution_hw
@@ -152,7 +163,22 @@ class StreamingDetector:
         # Unjitted step kept for AOT export (sast_tpu/export.py binds the
         # weights as baked constants and re-jits with state donation).
         self._step_fn = step
-        self._step = jax.jit(step, donate_argnums=(1,))
+        if mesh is not None:
+            from sast_tpu.parallel.mesh import batch_sharding, replicated
+
+            lane = batch_sharding(mesh, 0)
+            self._step = jax.jit(
+                step,
+                donate_argnums=(1,),
+                # single-sharding pytree prefixes broadcast to all leaves:
+                # (variables replicated, states/packed/n/reset lane-sharded)
+                in_shardings=(replicated(mesh), lane, lane, lane, lane),
+            )
+            self.states = jax.device_put(self.states, lane)
+            self._lane_sharding = lane
+        else:
+            self._step = jax.jit(step, donate_argnums=(1,))
+            self._lane_sharding = None
 
     def reset(self) -> None:
         """Zero the carried state of every lane (host-side; per-lane resets
@@ -164,6 +190,8 @@ class StreamingDetector:
             else jnp.float32
         )
         self.states = zero_states(bb, self.num_streams, dtype=dtype)
+        if self._lane_sharding is not None:
+            self.states = jax.device_put(self.states, self._lane_sharding)
 
     def process_batch(
         self,

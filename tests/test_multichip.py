@@ -138,3 +138,57 @@ def test_maybe_initialize_distributed_pod_detection(monkeypatch):
         "num_processes": 4,
         "process_id": 2,
     }
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_mesh_sharded_serving_matches_single_device():
+    """Lane-sharded pod serving == the same lanes on one device: nothing
+    crosses lanes in the streaming step, so a 2-device mesh must reproduce
+    the single-device batched detector."""
+    import dataclasses
+
+    from sast_tpu.models.detector import YoloXDetector
+    from sast_tpu.serving import StreamingDetector
+
+    cfg = get_test_config()
+    ds = dataclasses.replace(cfg.dataset, name="gen1")
+    cfg = dataclasses.replace(cfg, dataset=ds)
+    bb = dataclasses.replace(
+        cfg.model.backbone, in_res_hw=(256, 320),
+        attention=dataclasses.replace(cfg.model.backbone.attention,
+                                      partition_size=(4, 5)),
+    )
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, backbone=bb))
+
+    model = YoloXDetector(cfg.model)
+    x0 = jnp.zeros((1, 256, 320, 20), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x0, zero_states(cfg.model.backbone, 1)
+    )
+
+    mesh = make_mesh(jax.devices()[:2])
+    sharded = StreamingDetector(
+        cfg, variables, max_events=3000, num_streams=2, mesh=mesh
+    )
+    local = StreamingDetector(cfg, variables, max_events=3000, num_streams=2)
+
+    rng = np.random.RandomState(7)
+
+    def frame(i):
+        n = rng.randint(200, 900)
+        return dict(
+            x=rng.randint(0, 304, n), y=rng.randint(0, 240, n),
+            p=rng.randint(0, 2, n),
+            t=np.sort(rng.randint(0, 50_000, n)) + i * 50_000,
+        )
+
+    for i in range(2):
+        frames = [frame(i), frame(i)]
+        reset = np.array([False, i == 1])
+        a = sharded.process_batch(frames, reset=reset)
+        b = local.process_batch(frames, reset=reset)
+        for k in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=1e-5,
+                err_msg=f"frame {i} {k}",
+            )
