@@ -17,11 +17,16 @@ recipes; the hosts have 100+ GB).
 process-wide, long multi-device XLA:CPU sessions eventually SIGABRT inside
 a device-to-host fetch (reproduced: full test suite with the 8-virtual-
 device mesh aborts in test_multichip after ~40 tests; same subset passes
-with the tuning off; RSS peaked at 4.7 GB with 114 GB free, so not OOM —
-an allocator-interaction failure in XLA:CPU, root cause not isolated).
-The loader benchmark enables it explicitly; production TPU hosts fault
-pages orders of magnitude faster than this VM, so the default-off tuning
-costs them nothing.
+with the tuning off; RSS peaked at 4.7 GB with 114 GB free, so not OOM).
+Root cause refined in round 3: XLA:CPU CHECK-kills the process when a
+collective rendezvous stalls past its 40 s termination timeout, and N
+virtual device threads on 1 host core stall easily — the same abort was
+reproduced WITHOUT this tuning in the 8-device dryrun. The test/dryrun
+harnesses now stretch the rendezvous watchdogs
+(``--xla_cpu_collective_timeout_seconds``, see tests/conftest.py), which
+removes the abort mechanism; the tuning nevertheless stays opt-in, since
+production TPU hosts fault pages orders of magnitude faster than this VM
+and don't need it. The loader benchmark enables it explicitly.
 
 No reference analog: torch's DataLoader sidesteps this by keeping worker
 processes' tensors alive in shared memory. This is the single-process
