@@ -126,11 +126,12 @@ class CheckpointManager:
         return state
 
     def restore_raw(self, step: Optional[int] = None) -> Dict[str, Any]:
-        """Template-free restore of the saved payload as host numpy arrays
-        (shapes/dtypes from checkpoint metadata; the shardings recorded at
-        save time are ignored, so a checkpoint written on TPU loads anywhere).
-        For tools that need weights without building a model/optimizer first
-        (e.g. scripts/export_model.py); prefers the best-AP checkpoint like
+        """Template-free weights restore (params/batch_stats/ema_params) as
+        host numpy arrays (shapes/dtypes from checkpoint metadata; the
+        shardings recorded at save time are ignored, so a checkpoint written
+        on TPU loads anywhere; opt_state is not read). For tools that need
+        weights without building a model/optimizer first (e.g.
+        scripts/export_model.py); prefers the best-AP checkpoint like
         ``restore_weights``."""
         import numpy as np
 
@@ -139,10 +140,25 @@ class CheckpointManager:
         path = os.path.join(self.directory, str(step), "state")
         # Build a host-numpy template from the checkpoint's own metadata so
         # the restore is device-free (the manager-level restore would try to
-        # re-create the shardings recorded at save time).
-        meta = ocp.PyTreeCheckpointer().metadata(path).item_metadata.tree
-        template = jax.tree.map(lambda m: np.zeros(m.shape, m.dtype), meta)
-        return ocp.StandardCheckpointer().restore(path, target=template)
+        # re-create the shardings recorded at save time). Weights only:
+        # partial_restore skips the opt_state payload (~2x params of Adam
+        # moments no weights-consumer needs).
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata.tree
+        wanted = {
+            k: v for k, v in meta.items()
+            if k in ("params", "batch_stats", "ema_params")
+        }
+        template = jax.tree.map(lambda m: np.zeros(m.shape, m.dtype), wanted)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
+        )
+        return ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=template, restore_args=restore_args, partial_restore=True
+            ),
+        )
 
     def close(self) -> None:
         self._mgr.close()

@@ -39,13 +39,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sast_tpu.serving import StreamingDetector, pack_events
+# Deliberately NO model imports at module level: loading this module on a
+# serving host must need only jax + numpy (sast_tpu.serving pulls the full
+# flax model stack and is imported lazily by the export function alone).
+from sast_tpu.packing import pack_event_batch
 
 _ARTIFACT_NAME = "streaming_step.jaxexport"
 
 
 def export_streaming_detector(
-    det: StreamingDetector,
+    det: "sast_tpu.serving.StreamingDetector",  # noqa: F821
     path: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
     allow_tpu_kernels: bool = False,
@@ -146,15 +149,10 @@ class ExportedStreamingDetector:
         reset: "np.ndarray | None" = None,
     ) -> Dict[str, np.ndarray]:
         """One frame window per lane -> batched detections (same contract
-        as ``StreamingDetector.process_batch``)."""
+        as ``StreamingDetector.process_batch`` — both call
+        ``packing.pack_event_batch``, so the byte layout cannot diverge)."""
         S = self.num_streams
-        assert len(frames) == S, (len(frames), S)
-        packed = np.zeros((S, self.max_events, 4), np.int32)
-        n = np.zeros((S,), np.int32)
-        for i, f in enumerate(frames):
-            packed[i], n[i] = pack_events(
-                f["x"], f["y"], f["p"], f["t"], self.max_events
-            )
+        packed, n = pack_event_batch(frames, S, self.max_events)
         reset = (
             np.zeros((S,), bool) if reset is None else np.asarray(reset, bool)
         )

@@ -30,26 +30,9 @@ from sast_tpu.ops.nms import postprocess
 from sast_tpu.utils.padding import InputPadder, padding_token_mask
 
 
-def pack_events(
-    x: np.ndarray,
-    y: np.ndarray,
-    p: np.ndarray,
-    t: np.ndarray,
-    max_events: int,
-) -> Tuple[np.ndarray, int]:
-    """Pack one frame's raw event arrays into the static (E, 4) int32 layout.
-
-    Shared by the live detector and the exported-artifact runtime so both
-    ship identical bytes to the device.
-    """
-    n = int(x.size)
-    assert n <= max_events, f"{n} events exceed budget {max_events}"
-    packed = np.zeros((max_events, 4), np.int32)
-    packed[:n, 0] = x[:n]
-    packed[:n, 1] = y[:n]
-    packed[:n, 2] = p[:n]
-    packed[:n, 3] = t[:n]
-    return packed, n
+# Re-exported for backward compatibility; the implementation lives in the
+# dependency-light sast_tpu/packing.py (shared with the artifact runtime).
+from sast_tpu.packing import pack_event_batch, pack_events  # noqa: F401,E402
 
 
 class StreamingDetector:
@@ -206,13 +189,7 @@ class StreamingDetector:
         ``selected_tokens`` telemetry (batch-aggregate).
         """
         S = self.num_streams
-        assert len(frames) == S, (len(frames), S)
-        packed = np.zeros((S, self.max_events, 4), np.int32)
-        n = np.zeros((S,), np.int32)
-        for i, f in enumerate(frames):
-            packed[i], n[i] = pack_events(
-                f["x"], f["y"], f["p"], f["t"], self.max_events
-            )
+        packed, n = pack_event_batch(frames, S, self.max_events)
         reset = (
             np.zeros((S,), bool) if reset is None else np.asarray(reset, bool)
         )

@@ -355,7 +355,14 @@ class Trainer:
             device_batch = self._put_batch(device_batch)
             if lstm is None:
                 lstm = self._zero_states(device_batch["ev_repr"].shape[1])
-            if prof_first is not None and step + 1 == prof_first and not profiling:
+            # >= so a resumed run whose restored step already sits inside
+            # the window still captures its remainder; prof_last keeps a
+            # finished window from restarting.
+            if (
+                prof_first is not None
+                and not profiling
+                and prof_first <= step + 1 <= prof_last
+            ):
                 jax.profiler.start_trace(os.path.join(self.workdir, "trace"))
                 profiling = True
             self.state, lstm, metrics = self.train_step(self.state, device_batch, lstm)

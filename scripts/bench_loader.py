@@ -33,6 +33,18 @@ DEVICE_STEP_S = {  # measured post-cliff device train-step times (README)
 
 def ensure_dataset(path: Path, seqs: int, frames: int, layout: str = "tchw") -> Path:
     if (path / "train").is_dir():
+        # Refuse to silently benchmark a dataset whose on-disk layout does
+        # not match the requested --layout (the A/B number would be a lie).
+        import h5py
+
+        h5 = next((path / "train").glob("*/event_representations_v2/*/*.h5"))
+        with h5py.File(str(h5), "r") as f:
+            found = f["data"].attrs.get("layout", "TCHW")
+            found = found.decode() if isinstance(found, bytes) else found
+        assert found.lower() == layout, (
+            f"dataset at {path} is {found}, but --layout {layout} was "
+            "requested; point --data elsewhere or delete the directory"
+        )
         return path
     print(f"generating synthetic dataset at {path} ...", file=sys.stderr)
     import subprocess

@@ -11,14 +11,16 @@ import sys
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-if "--xla_cpu_collective_timeout_seconds" not in os.environ["XLA_FLAGS"]:
-    # 8 virtual device threads on 1 host core: a stall past XLA:CPU's 40 s
-    # rendezvous termination timeout CHECK-kills pytest mid-collective
-    # (flaky abort observed in test_multichip). Stretch the watchdogs.
-    os.environ["XLA_FLAGS"] += (
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
-        " --xla_cpu_collective_timeout_seconds=3000"
-    )
+# 8 virtual device threads on 1 host core: a stall past XLA:CPU's 40 s
+# rendezvous termination timeout CHECK-kills pytest mid-collective (flaky
+# abort observed in test_multichip). Stretch the watchdogs — each only if
+# the user has not already set it (last-wins parsing would override theirs).
+for _flag in (
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300",
+    "--xla_cpu_collective_timeout_seconds=3000",
+):
+    if _flag.split("=")[0] not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += " " + _flag
 
 import jax  # noqa: E402
 
