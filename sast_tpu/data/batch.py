@@ -126,17 +126,48 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._exc: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         try:
             for item in self._it:
-                self._q.put(item)
+                # Bounded put that re-checks close(): a consumer that stops
+                # early (validate(max_batches=N), fit break at max_steps)
+                # must not leave this thread blocked forever holding
+                # multi-GB assembled batches + open h5 handles.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 - re-raised on the consumer
             self._exc = e
         finally:
-            self._q.put(self._done)
+            # The end-of-data sentinel must be delivered even when the queue
+            # is momentarily full (a slow consumer still expects it) — but
+            # never block past close().
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._done, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self) -> None:
+        """Stop the producer and release its buffered batches/handles.
+        Idempotent; safe from any thread."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
 
     def __iter__(self) -> Iterator:
         while True:

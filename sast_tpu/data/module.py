@@ -44,7 +44,6 @@ class RandomAccessSampler:
         batch_size: int,
         augmentor: Optional[SpatialAugmentor],
         weighted: bool,
-        num_classes: int,
         seed: int = 0,
         only_load_end_labels: bool = False,
     ):
@@ -62,6 +61,11 @@ class RandomAccessSampler:
             off = r.random_access_start_offset(seq_len)
             for oi in range(off, len(r.objframe_idx_2_repr_idx)):
                 self.index.append((ri, oi))
+        assert self.index, (
+            f"no random-access samples: no sequence has a labeled frame at "
+            f">= sequence_length={seq_len} representations — shorten "
+            f"dataset.sequence_length or use stream sampling"
+        )
         self.probs = (
             self._reference_sample_weights() if weighted else None
         )
@@ -117,15 +121,8 @@ class RandomAccessSampler:
             "ev_repr": ev,
             "labels": labels,
             "is_first": True,  # random-access always resets the state
-            "is_padded_mask": np.ones((self.seq_len,), bool),
+            "is_real_mask": np.ones((self.seq_len,), bool),
         }
-
-    def _sample(self) -> dict:
-        state = None
-        if self.augmentor is not None:
-            hw = self.readers[0].ev_repr_shape[1:]
-            state = self.augmentor.sample_state(hw)
-        return self._fetch(self._draw(), state, self.rng.randint(2**31))
 
     def __iter__(self) -> Iterator[List[dict]]:
         from concurrent.futures import ThreadPoolExecutor
@@ -229,19 +226,35 @@ class DataModule:
         elif mode == "random":
             sampler = RandomAccessSampler(
                 readers, ds.sequence_length, B, random_aug,
-                ds.weighted_sampling, ds.num_classes, seed=seed + self.rank,
+                ds.weighted_sampling, seed=seed + self.rank,
                 only_load_end_labels=ds.only_load_end_labels,
+            )
+        elif B == 1:
+            # mixed needs >= 1 lane of each kind; a 1-lane-per-host batch
+            # degrades to pure streaming (the dominant part by the default
+            # weights) instead of constructing a 0-lane random sampler.
+            import sys
+
+            print(
+                "mixed sampling with a per-host batch of 1 lane: using "
+                "stream sampling for this host",
+                file=sys.stderr,
+            )
+            sampler = ConcatStreamsSampler(
+                self._stream_clips(readers, True), B, stream_aug,
+                seed=seed + self.rank,
             )
         else:  # mixed
             # Static lane split. The reference's mixed mode splits *workers*
             # between the two pipelines and merges their sub-batches
             # (modules/detection.py merge_mixed_batches); here the split is
             # by batch lanes, computed once from the weights. Multi-worker
-            # parallelism is orthogonal: each sampler already draws from the
-            # thread-parallel reader pool, and multi-HOST sharding happens
-            # one level up (rank/world in _readers + per-rank seeds), so
-            # there is no per-worker state to key — lanes are continuous
-            # streams by construction (data/streaming.py).
+            # parallelism is orthogonal (each sampler already draws from the
+            # thread-parallel reader pool). NOTE on multi-host: like the
+            # reference's train streaming (per-worker shuffled FULL sequence
+            # list, stream_concat_datapipe.py:25-103), every rank draws from
+            # all train sequences with a rank-distinct seed — only EVAL is
+            # sharded by rank (ShardedEvalSampler).
             total_w = ds.mixed_w_stream + ds.mixed_w_random
             b_stream = max(1, min(B - 1, round(B * ds.mixed_w_stream / total_w)))
             b_random = B - b_stream
@@ -252,7 +265,7 @@ class DataModule:
                 ),
                 RandomAccessSampler(
                     readers, ds.sequence_length, b_random, random_aug,
-                    ds.weighted_sampling, ds.num_classes, seed=seed + self.rank,
+                    ds.weighted_sampling, seed=seed + self.rank,
                     only_load_end_labels=ds.only_load_end_labels,
                 ),
             )

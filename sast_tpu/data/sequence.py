@@ -244,7 +244,7 @@ class ClipIterator:
     """Iterates (ev_repr, labels, is_first) clips over one stream of ranges.
 
     Clips shorter than seq_len (stream tails) are zero-padded with an
-    ``is_padded_mask`` marking real frames (sequence_for_streaming.py:137-181).
+    ``is_real_mask`` marking real frames (sequence_for_streaming.py:137-181).
     """
 
     def __init__(self, reader: SequenceReader, seq_len: int, ranges: List[Tuple[int, int]]):
@@ -280,6 +280,6 @@ class ClipIterator:
                 "ev_repr": ev,
                 "labels": labels,
                 "is_first": first,
-                "is_padded_mask": mask,
+                "is_real_mask": mask,
             }
             first = False

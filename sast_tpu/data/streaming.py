@@ -34,7 +34,7 @@ def _fill_clip(seq_len: int, hwc, dtype=np.uint8) -> dict:
         "ev_repr": np.zeros((seq_len, *hwc), dtype),
         "labels": [None] * seq_len,
         "is_first": True,  # keeps the padded lane's state reset
-        "is_padded_mask": np.zeros((seq_len,), bool),
+        "is_real_mask": np.zeros((seq_len,), bool),
     }
 
 
@@ -73,7 +73,9 @@ class ConcatStreamsSampler:
         self.seed = seed
 
     def _lane_iter(self, lane: int) -> Iterator[dict]:
-        rng = np.random.RandomState(self.seed * 7919 + lane)
+        # mod 2**32: RandomState rejects larger seeds, and user seeds are
+        # unbounded (seed * 104729 overflows for any seed >= ~41k).
+        rng = np.random.RandomState((self.seed * 7919 + lane) % (2**32))
         # Lanes run on parallel threads: each needs its own augmentor (the
         # RandomState inside is not thread-safe).
         augmentor = None
@@ -81,7 +83,9 @@ class ConcatStreamsSampler:
             augmentor = SpatialAugmentor(
                 self.augmentor.cfg,
                 self.augmentor.stream_mode,
-                rng=np.random.RandomState(self.seed * 104729 + lane + 1),
+                rng=np.random.RandomState(
+                    (self.seed * 104729 + lane + 1) % (2**32)
+                ),
             )
         while True:
             order = rng.permutation(len(self.streams))
@@ -146,18 +150,27 @@ class ShardedEvalSampler:
     def __iter__(self) -> Iterator[List[dict]]:
         lanes = [self._lane_iter(ids) for ids in self.local_lanes]
         actives = [True] * len(lanes)
-        for _ in range(self.global_steps):
-            batch = []
-            for i, lane in enumerate(lanes):
-                clip = None
-                if actives[i]:
-                    clip = next(lane, None)
-                    if clip is None:
-                        actives[i] = False
+
+        def fetch(i: int) -> dict:
+            clip = None
+            if actives[i]:
+                clip = next(lanes[i], None)
                 if clip is None:
-                    clip = _fill_clip(self.seq_len, self.fill_hwc)
-                batch.append(clip)
-            yield batch
+                    actives[i] = False
+            return clip if clip is not None else _fill_clip(
+                self.seq_len, self.fill_hwc
+            )
+
+        # Lanes decode in parallel threads, same as the train sampler (each
+        # ClipIterator opens its own h5 handle; chunk decode releases the
+        # GIL) — serial fetching left the device idle ~B x longer per eval
+        # batch.
+        pool = ThreadPoolExecutor(max_workers=len(lanes) or 1)
+        try:
+            for _ in range(self.global_steps):
+                yield list(pool.map(fetch, range(len(lanes))))
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def __len__(self) -> int:
         return self.global_steps

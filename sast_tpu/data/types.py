@@ -19,7 +19,7 @@ class DataType(Enum):
     IMAGE = "image"
     OBJLABELS = "objlabels"
     OBJLABELS_SEQ = "labels"
-    IS_PADDED_MASK = "is_padded_mask"
+    IS_REAL_MASK = "is_real_mask"
     IS_FIRST_SAMPLE = "is_first"
     TOKEN_MASK = "token_mask"
 

@@ -190,6 +190,12 @@ class PropheseeEvaluator:
         }
 
     def evaluate_buffer(self, img_height: int, img_width: int) -> Optional[Dict[str, float]]:
+        """Run the Prophesee COCO protocol over the buffered GT/predictions.
+
+        ``img_height``/``img_width`` are accepted for API parity with the
+        reference evaluator (evaluator.py:evaluate_buffer) but intentionally
+        unused: the from-scratch numpy COCO evaluator (eval/coco.py) needs
+        no image dimensions (no box clipping, areas from box wh)."""
         labels = self._buffer[self.LABELS]
         preds = self._buffer[self.PREDICTIONS]
         if not labels:

@@ -294,6 +294,11 @@ class Trainer:
             if max_batches is not None and n >= max_batches:
                 break
 
+        # A truncated consumer (max_batches) must release the prefetcher's
+        # producer thread and its buffered batches/h5 handles.
+        if hasattr(eval_batches, "close"):
+            eval_batches.close()
+
         if viz_panels:
             # Media logging through the logger (reference W&B viz callback,
             # callbacks/detection.py:32-100 via wandb_logger.log_images).
@@ -444,6 +449,11 @@ class Trainer:
 
         if profiling:  # loop ended inside the requested window
             jax.profiler.stop_trace()
+
+        # Breaking at max_steps leaves the (infinite) train prefetcher's
+        # producer blocked mid-put; release it and its buffers.
+        if hasattr(train_batches, "close"):
+            train_batches.close()
 
         # Persist the final state even when max_steps is not aligned with
         # val_every/ckpt_every (a run must never end without its last state).

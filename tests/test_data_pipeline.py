@@ -71,7 +71,7 @@ def test_clip_iterator_padding(dataset_root):
     # tail clip padding mask
     tail = clips[-1]
     n_real = ranges[-1][1] - ranges[-1][0]
-    assert tail["is_padded_mask"].sum() == n_real
+    assert tail["is_real_mask"].sum() == n_real
 
 
 def test_zigzag_assign_balance():
@@ -97,7 +97,7 @@ def test_sharded_eval_sampler_covers_all_clips(dataset_root):
         n = 0
         for batch in sampler:
             assert len(batch) == 2
-            seen += sum(c["is_padded_mask"].any() for c in batch)
+            seen += sum(c["is_real_mask"].any() for c in batch)
             n += 1
         steps.append(n)
     assert steps[0] == steps[1]  # every process steps the same count
@@ -203,3 +203,62 @@ def test_thwc_disk_layout_reader_equivalence(tmp_path):
     np.testing.assert_array_equal(ra.get_ev_repr(0, 12), rb.get_ev_repr(0, 12))
     np.testing.assert_array_equal(ra.get_ev_repr(3, 7), rb.get_ev_repr(3, 7))
     assert rb.get_ev_repr(0, 4).shape == (4, H, W, C)
+
+
+def test_large_seed_does_not_overflow_lane_rng(dataset_root):
+    """User seeds are unbounded; lane-derived RandomState seeds must wrap
+    (regression: seed * 104729 exceeded 2**32 - 1 for seeds >= ~41k)."""
+    cfg = _cfg(dataset_root)
+    import dataclasses
+
+    from sast_tpu.data.module import DataModule
+
+    tr = dataclasses.replace(
+        cfg.training, batch_size_train=2, batch_size_eval=2
+    )
+    ds = dataclasses.replace(cfg.dataset, train_sampling="stream")
+    dm = DataModule(dataclasses.replace(cfg, dataset=ds, training=tr))
+    it = iter(dm.train_batches(seed=123_456_789, prefetch=False))
+    batch = next(it)
+    assert batch["ev_repr"].shape[1] == 2
+
+
+def test_mixed_single_lane_degrades_to_stream(dataset_root):
+    """mixed with a 1-lane per-host batch must not build a 0-lane random
+    sampler (regression: ThreadPoolExecutor(max_workers=0) ValueError)."""
+    cfg = _cfg(dataset_root)
+    import dataclasses
+
+    from sast_tpu.data.module import DataModule
+
+    tr = dataclasses.replace(
+        cfg.training, batch_size_train=1, batch_size_eval=1
+    )
+    ds = dataclasses.replace(cfg.dataset, train_sampling="mixed")
+    dm = DataModule(dataclasses.replace(cfg, dataset=ds, training=tr))
+    batch = next(iter(dm.train_batches(prefetch=False)))
+    assert batch["ev_repr"].shape[1] == 1
+
+
+def test_prefetcher_close_releases_producer():
+    """A consumer that stops early must be able to release the producer
+    thread (it otherwise blocks forever holding buffered batches)."""
+    import time
+
+    from sast_tpu.data.batch import Prefetcher
+
+    def infinite():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    pf = Prefetcher(infinite())
+    it = iter(pf)
+    assert next(it) == 0
+    pf.close()
+    deadline = time.time() + 5.0
+    while pf._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not pf._thread.is_alive()
+    pf.close()  # idempotent

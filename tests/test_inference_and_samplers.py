@@ -63,7 +63,7 @@ def test_weighted_random_sampler(dataset_root):
     readers = dm._readers("train")
     sampler = RandomAccessSampler(
         readers, seq_len=4, batch_size=2, augmentor=None,
-        weighted=True, num_classes=2, seed=0,
+        weighted=True, seed=0,
     )
     assert sampler.probs is not None
     assert abs(sampler.probs.sum() - 1.0) < 1e-9
@@ -105,7 +105,7 @@ def test_only_load_end_labels_supervises_all_window_frames(tmp_path):
             "ev_repr": ev_all,
             "labels": labels,
             "is_first": True,
-            "is_padded_mask": np.ones((4,), bool),
+            "is_real_mask": np.ones((4,), bool),
         }
         return assemble_batch([clip], max_labeled_frames=4, max_gt=8)
 
@@ -162,7 +162,7 @@ def test_weighted_sampler_matches_reference_formula(tmp_path):
     L = 4
     sampler = RandomAccessSampler(
         readers, seq_len=L, batch_size=2, augmentor=None,
-        weighted=True, num_classes=2, seed=0,
+        weighted=True, seed=0,
     )
 
     # Independent reimplementation of the reference loop over the labels the
