@@ -103,10 +103,19 @@ def maybe_initialize_distributed() -> bool:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     if addr and nproc:
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if pid is None:
+            # Defaulting to 0 would make EVERY worker claim rank 0 and the
+            # job die in an opaque coordinator barrier timeout; fail fast at
+            # the actual misconfiguration instead.
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS and JAX_NUM_PROCESSES are set but "
+                "JAX_PROCESS_ID is missing — set it to this worker's rank"
+            )
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(nproc),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            process_id=int(pid),
         )
         return True
     # TPU pod slice launched the standard way (gcloud / xpk / ray set

@@ -122,7 +122,10 @@ class StreamingDetector:
                 states,
             )
             rep = jax.vmap(tensorize)(packed, n_events)  # (S, H, W, C)
-            ev = padder.pad_tensor_ev_repr(rep.astype(jnp.float32))
+            # Pad in uint8 (4x less HBM traffic than an fp32 pad; the
+            # backbone's entry cast is exact for count_cutoff <= 255
+            # histograms — same design as the train step, steps.py).
+            ev = padder.pad_tensor_ev_repr(rep)
             feats, new_states, p_tel = model.apply(
                 {"params": variables["params"]},
                 ev,
@@ -157,6 +160,9 @@ class StreamingDetector:
                 # (variables replicated, states/packed/n/reset lane-sharded)
                 in_shardings=(replicated(mesh), lane, lane, lane, lane),
             )
+            # One-time placement: without this every process_batch dispatch
+            # re-replicates the full weight tree from its original device.
+            self.variables = jax.device_put(self.variables, replicated(mesh))
             self.states = jax.device_put(self.states, lane)
             self._lane_sharding = lane
         else:

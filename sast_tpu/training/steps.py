@@ -295,7 +295,7 @@ def make_train_step(
 
 def make_eval_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
     """Returns eval_step(variables, batch, lstm_states) ->
-    (lstm_states, detections, preds)
+    (lstm_states, detections)
 
     Runs the backbone over the clip, detects at the labeled frames, applies
     on-device NMS. Detections come back with static budgets + validity masks;
@@ -350,10 +350,13 @@ def make_eval_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
 
 def make_inference_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable:
     """Single-frame streaming inference: (variables, x, states) ->
-    (detections, new_states). The deployable unit (SURVEY.md section 3.3);
-    states are donatable for zero-copy carry."""
+    (detections, new_states, selected_token_telemetry). The deployable unit
+    (SURVEY.md section 3.3); states are donatable for zero-copy carry.
+    ``x`` may be at the dataset's native resolution — it is zero-padded to
+    the model resolution here (like the train/eval steps and serving)."""
     pp = cfg.model.postprocess
     num_classes = cfg.model.head.num_classes
+    padder = InputPadder(cfg.model.backbone.in_res_hw)
     # Same padded-region mask token substitution as train/eval — without it
     # the deployed path would see raw zero-pad embeddings the model never
     # trained on (train-inference skew at the bottom/right borders).
@@ -364,6 +367,7 @@ def make_inference_step(model: YoloXDetector, cfg: ExperimentConfig) -> Callable
     )
 
     def infer_step(variables, x: jnp.ndarray, lstm_states):
+        x = padder.pad_tensor_ev_repr(x)  # no-op when already pre-padded
         feats, new_states, p = model.apply(
             {"params": variables["params"]},
             x,

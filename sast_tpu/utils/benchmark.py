@@ -41,8 +41,6 @@ def sync_dispatch() -> float:
     Call this BEFORE timing; subtract the returned per-dispatch overhead
     (seconds), or amortize it by chaining work with ``lax.scan``.
     """
-    import time
-
     import jax
     import jax.numpy as jnp
 
@@ -121,6 +119,26 @@ def slope_time(make_fn, L1: int = 20, L2: int = 100, blocks: int = 3) -> float:
     return (b2 - b1) / (L2 - L1)
 
 
+def _build_model_and_inputs(cfg, batch_size, sparsity, seed):
+    """Shared bench setup: model + sparse input + zero states + init."""
+    import jax
+    import jax.numpy as jnp
+
+    from sast_tpu.models.backbone import zero_states
+    from sast_tpu.models.detector import YoloXDetector
+
+    model = YoloXDetector(cfg.model)
+    bb = cfg.model.backbone
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(
+        make_sparse_input(rng, (batch_size, *bb.in_res_hw, bb.input_channels), sparsity)
+    )
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    states = zero_states(bb, batch_size, dtype=dtype)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, states)
+    return model, variables, x, states
+
+
 def compute_fps(
     cfg: ExperimentConfig,
     batch_size: int = 4,
@@ -138,20 +156,10 @@ def compute_fps(
     un-timed first execution of each chunk.
     """
     import jax
-    import jax.numpy as jnp
 
-    from sast_tpu.models.backbone import zero_states
-    from sast_tpu.models.detector import YoloXDetector
-
-    model = YoloXDetector(cfg.model)
-    bb = cfg.model.backbone
-    rng = np.random.RandomState(seed)
-    x = jnp.asarray(
-        make_sparse_input(rng, (batch_size, *bb.in_res_hw, bb.input_channels), sparsity)
+    model, variables, x, states = _build_model_and_inputs(
+        cfg, batch_size, sparsity, seed
     )
-    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
-    states = zero_states(bb, batch_size, dtype=dtype)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, states)
 
     L1 = max(10, iters // 6)
     L2 = max(iters, 2 * L1)
@@ -184,20 +192,10 @@ def compute_flops(
     with selected tokens at runtime when the sparse kernel is active.
     """
     import jax
-    import jax.numpy as jnp
 
-    from sast_tpu.models.backbone import zero_states
-    from sast_tpu.models.detector import YoloXDetector
-
-    model = YoloXDetector(cfg.model)
-    bb = cfg.model.backbone
-    rng = np.random.RandomState(seed)
-    x = jnp.asarray(
-        make_sparse_input(rng, (batch_size, *bb.in_res_hw, bb.input_channels), sparsity)
+    model, variables, x, states = _build_model_and_inputs(
+        cfg, batch_size, sparsity, seed
     )
-    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
-    states = zero_states(bb, batch_size, dtype=dtype)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, states)
 
     def fwd(variables, x, states):
         outputs, _, _ = model.apply(variables, x, states)
