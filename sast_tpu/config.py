@@ -165,6 +165,10 @@ class BackboneConfig:
     # XLA's conv lowering on v5e and numerically identical. Auto-falls back
     # to XLA off-TPU or on unsupported shapes, so it is safe as a default.
     stem_pallas: bool = True
+    # Pallas density pyramid (ops/pallas/density.py): every XLA lowering of
+    # non_zero_ratio is ~40x off the bandwidth roof at the shipped uint8
+    # geometries. Same auto-fallback rules as the stem kernel.
+    ratio_pallas: bool = True
     attention: AttentionConfig = field(default_factory=AttentionConfig)
     lstm: LstmConfig = field(default_factory=LstmConfig)
     in_res_hw: Tuple[int, int] = (256, 320)

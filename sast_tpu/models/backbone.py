@@ -131,7 +131,9 @@ class SASTBackbone(nn.Module):
             prev_states = [None] * num_stages
         assert len(prev_states) == num_stages
 
-        r = non_zero_ratio(x, num_stages=num_stages)  # (B, S, C_in)
+        r = non_zero_ratio(
+            x, num_stages=num_stages, use_pallas=cfg.ratio_pallas
+        )  # (B, S, C_in)
         x = x.astype(self.dtype or jnp.float32)
 
         features: Dict[int, jnp.ndarray] = {}

@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 
 
-def non_zero_ratio(x: jnp.ndarray, num_stages: int = 4) -> jnp.ndarray:
+def non_zero_ratio(
+    x: jnp.ndarray, num_stages: int = 4, use_pallas: bool = True
+) -> jnp.ndarray:
     """Per-stage channel-wise event-density ratio.
 
     Equivalent of the reference ``non_zero_ratio``
@@ -34,12 +36,27 @@ def non_zero_ratio(x: jnp.ndarray, num_stages: int = 4) -> jnp.ndarray:
     max-pool the input by 4, then by 2 per subsequent stage, and report the
     fraction of non-zero cells per channel at each scale.
 
+    On single-device TPU with uint8 input at pool-divisible extents this
+    dispatches to a Pallas kernel (ops/pallas/density.py) — every XLA
+    formulation of this op is ~40x off the bandwidth roof at the shipped
+    geometries (scripts/ablate_ratio.py); ``use_pallas=False`` forces the
+    XLA path. Multi-device meshes always take XLA (GSPMD cannot partition
+    the custom call), as do signed inputs (value-max semantics differ).
+
     Args:
       x: (B, H, W, C) event representation (NHWC; any numeric dtype).
 
     Returns:
       (B, num_stages, C) float32 ratios in [0, 1]; no gradient flows.
     """
+    if use_pallas and jax.default_backend() == "tpu" and jax.device_count() == 1:
+        from sast_tpu.ops.pallas.density import (
+            density_ratio_tpu,
+            ratio_kernel_supported,
+        )
+
+        if ratio_kernel_supported(x.shape, num_stages, x.dtype):
+            return density_ratio_tpu(x)
     # Max-pool in the input's native dtype (uint8 for stacked histograms):
     # casting the full-res input to fp32 first costs 4x the HBM traffic of
     # this whole op. Non-overlapping power-of-two pooling is a reshape-max,

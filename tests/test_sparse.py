@@ -105,3 +105,47 @@ def test_non_zero_ratio_rejects_sub_factor_extents():
     x = jnp.zeros((1, 16, 16, 3), jnp.float32)  # 16 -> 4 -> 2 -> 1 < 2
     with pytest.raises(AssertionError, match="too small"):
         jax.jit(non_zero_ratio)(x)
+
+
+def test_density_kernel_interpret_matches_xla():
+    """Pallas density pyramid (ops/pallas/density.py) == XLA formulation,
+    run on CPU via interpret mode; also checks the zero-tangent custom_jvp
+    lets reverse-mode AD pass through without a pallas transpose rule."""
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+
+    import sast_tpu.ops.pallas.density as dens
+
+    saved = dens.pl.pallas_call
+    dens.pl.pallas_call = partial(pl.pallas_call, interpret=True)
+    try:
+        rng = np.random.RandomState(0)
+        B, H, W, C = 2, 64, 32, 4  # (W*C) % 128 == 0, H and W % 32 == 0
+        x = rng.poisson(0.2, (B, H, W, C)).clip(0, 255).astype(np.uint8)
+        assert dens.ratio_kernel_supported((B, H, W, C), 4, jnp.uint8)
+        got = np.asarray(dens.density_ratio_tpu(jnp.asarray(x)))
+        ref = np.asarray(non_zero_ratio(jnp.asarray(x), use_pallas=False))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+        # r feeds the differentiable scoring module downstream; the kernel's
+        # cotangent path must exist (and be zero into the integer input).
+        w = jnp.ones((B, 4, C))
+        g = jax.grad(
+            lambda w: (dens.density_ratio_tpu(jnp.asarray(x)) * w).sum()
+        )(w)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(got), atol=1e-6)
+    finally:
+        dens.pl.pallas_call = saved
+
+
+def test_density_kernel_gate_rejects_unsupported():
+    from sast_tpu.ops.pallas.density import ratio_kernel_supported
+
+    assert ratio_kernel_supported((4, 384, 640, 20), 4, jnp.uint8)  # gen4
+    assert ratio_kernel_supported((8, 256, 320, 20), 4, jnp.uint8)  # gen1
+    assert not ratio_kernel_supported((4, 384, 640, 20), 4, jnp.int8)  # signed
+    assert not ratio_kernel_supported((4, 380, 640, 20), 4, jnp.uint8)  # H%32
+    assert not ratio_kernel_supported((4, 384, 636, 20), 4, jnp.uint8)  # W%32
+    assert not ratio_kernel_supported((4, 384, 640, 40), 4, jnp.uint8)  # C>32
+    assert not ratio_kernel_supported((4, 384, 640, 20), 3, jnp.uint8)  # stages

@@ -269,3 +269,28 @@ def test_fused_block_grad_parity_on_tpu():
             np.asarray(gk[1][key]), np.asarray(gr[1][key]),
             atol=5e-4, rtol=5e-3, err_msg=key,
         )
+
+
+# Density pyramid kernel (ops/pallas/density.py)
+
+
+@tpu_only
+@pytest.mark.parametrize(
+    "shape", [(4, 384, 640, 20), (2, 256, 320, 20)]  # gen4 / gen1 geometries
+)
+def test_density_ratio_parity_on_tpu(shape):
+    from sast_tpu.ops.pallas.density import (
+        density_ratio_tpu,
+        ratio_kernel_supported,
+    )
+    from sast_tpu.ops.sparse import non_zero_ratio
+
+    assert ratio_kernel_supported(shape, 4, jnp.uint8)
+    rng = np.random.RandomState(0)
+    x = (rng.rand(*shape) > 0.9) * rng.randint(1, 11, shape)
+    x = jnp.asarray(x.astype(np.uint8))
+    got = np.asarray(jax.jit(density_ratio_tpu)(x))
+    ref = np.asarray(
+        jax.jit(lambda x: non_zero_ratio(x, use_pallas=False))(x)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-6)
