@@ -84,8 +84,14 @@ class DatasetConfig:
         )
     )
 
+    # Test/synthetic hook: force a native sensor resolution instead of the
+    # dataset's real one (tiny geometries compile in seconds on CPU).
+    resolution_hw_override: Optional[Tuple[int, int]] = None
+
     @property
     def resolution_hw(self) -> Tuple[int, int]:
+        if self.resolution_hw_override is not None:
+            return self.resolution_hw_override
         hw = DATASET_RES_HW[self.name]
         if self.downsample_by_factor_2:
             return (hw[0] // 2, hw[1] // 2)

@@ -29,7 +29,15 @@ the pyramid is phrased entirely in layout-legal ops:
   what the MXU does for free.
 * Per-scale non-zero counts accumulate into a (1, 4, 32) fp32 output block
   across the sequential H-grid; the wrapper divides by each scale's cell
-  count. Bit-equal to the XLA formulation for uint8 inputs.
+  count. Bit-equal to the repo's XLA formulation for uint8 inputs.
+
+NORMALIZATION (fixed round 4, ADVICE r3): both this kernel and the XLA path
+in ops/sparse.py use the REFERENCE normalization ``count / (C * Hp * Wp)``
+(sast_rnn.py:57-60 divides by ``x_down.numel()/B``, i.e. an extra 1/C vs
+plain per-channel occupancy). Rounds 1-3 normalized by ``Hp * Wp`` only
+(20x the reference's r); that deviation is gone, so migrated checkpoints'
+``PositiveLinear(to_controls)`` sees the exact reference scale with no
+weight adjustment.
 
 Restricted to uint8: for SIGNED representations (int8 mixed-density
 stacks) the reference pools VALUES, where max{-1, 0} = 0 counts as zero —
@@ -53,9 +61,19 @@ ROWS = 32   # input rows per program = one scale-32 pool row
 LANE = 128
 CPAD = 32   # channel pad: 4 columns x 32 channels = one vreg of lanes
 
+# Module-local indirection so tests can force interpret mode by patching
+# THIS module (pytest monkeypatch on `_pallas_call`) instead of mutating the
+# shared jax.experimental.pallas module (ADVICE r3).
+_pallas_call = pl.pallas_call
+
 
 def ratio_kernel_supported(shape, num_stages: int = 4, dtype=None) -> bool:
-    """Static gate: divisible extents, <=CPAD channels, uint8 values."""
+    """Static gate: divisible extents, <=CPAD channels, uint8 values.
+
+    ``dtype`` is effectively required: ``None`` (unknown) returns False so a
+    call site that forgets to pass it can never route signed int8 inputs to
+    the kernel, where nonzero-of-sum semantics diverge from the reference's
+    value-max (max{-1, 0} = 0 counts as zero) — ADVICE r3."""
     if len(shape) != 4 or num_stages != 4:
         return False
     B, H, W, C = shape
@@ -63,7 +81,8 @@ def ratio_kernel_supported(shape, num_stages: int = 4, dtype=None) -> bool:
         H % ROWS == 0
         and W % ROWS == 0
         and C <= CPAD
-        and (dtype is None or dtype == jnp.uint8)
+        and dtype is not None
+        and dtype == jnp.uint8
     )
 
 
@@ -135,7 +154,7 @@ def _counts_pallas(x: jnp.ndarray) -> jnp.ndarray:
         # pad and the merge reshape into one pass over the input.
         xi = jnp.pad(xi, ((0, 0), (0, 0), (0, 0), (0, CPAD - C)))
     xi = xi.reshape(B, H, W * CPAD)
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_slab_kernel, W=W),
         grid=(B, H // ROWS),
         in_specs=[pl.BlockSpec((1, ROWS, W * CPAD), lambda b, i: (b, i, 0))],
@@ -147,11 +166,13 @@ def _counts_pallas(x: jnp.ndarray) -> jnp.ndarray:
 
 @jax.custom_jvp
 def density_ratio_tpu(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) uint8 -> (B, 4, C) float32 per-stage density ratios."""
+    """(B, H, W, C) uint8 -> (B, 4, C) float32 per-stage density ratios.
+
+    Reference normalization: count / (C * Hp * Wp) — see ops/sparse.py."""
     B, H, W, C = x.shape
     counts = _counts_pallas(x)
     cells = jnp.asarray(
-        [(H // k) * (W // k) for k in (4, 8, 16, 32)], jnp.float32
+        [(H // k) * (W // k) * C for k in (4, 8, 16, 32)], jnp.float32
     )
     return counts / cells[None, :, None]
 

@@ -20,10 +20,30 @@ top-K padding is purely a batching device — padded slots are key-masked with
 
 from __future__ import annotations
 
+import logging
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+_kernel_skip_warned = False
+
+
+def _warn_kernel_skipped_multidevice() -> None:
+    """One-time signal that the density Pallas kernel is disabled because the
+    host exposes >1 device (GSPMD cannot partition the custom call). On a
+    multi-chip host running a single-chip model, restrict visible devices
+    (e.g. jax.config.update('jax_default_device', ...) or TPU_VISIBLE_CHIPS)
+    to re-enable it — ADVICE r3: previously this fallback was silent."""
+    global _kernel_skip_warned
+    if not _kernel_skip_warned:
+        _kernel_skip_warned = True
+        logging.getLogger(__name__).info(
+            "non_zero_ratio: Pallas density kernel disabled on a %d-device "
+            "host (single-device only); using the ~4.9x-slower XLA path. "
+            "Restrict visible devices to re-enable.",
+            jax.device_count(),
+        )
 
 
 def non_zero_ratio(
@@ -49,14 +69,17 @@ def non_zero_ratio(
     Returns:
       (B, num_stages, C) float32 ratios in [0, 1]; no gradient flows.
     """
-    if use_pallas and jax.default_backend() == "tpu" and jax.device_count() == 1:
-        from sast_tpu.ops.pallas.density import (
-            density_ratio_tpu,
-            ratio_kernel_supported,
-        )
+    if use_pallas and jax.default_backend() == "tpu":
+        if jax.device_count() == 1:
+            from sast_tpu.ops.pallas.density import (
+                density_ratio_tpu,
+                ratio_kernel_supported,
+            )
 
-        if ratio_kernel_supported(x.shape, num_stages, x.dtype):
-            return density_ratio_tpu(x)
+            if ratio_kernel_supported(x.shape, num_stages, x.dtype):
+                return density_ratio_tpu(x)
+        else:
+            _warn_kernel_skipped_multidevice()
     # Max-pool in the input's native dtype (uint8 for stacked histograms):
     # casting the full-res input to fp32 first costs 4x the HBM traffic of
     # this whole op. Non-overlapping power-of-two pooling is a reshape-max,
@@ -81,7 +104,12 @@ def non_zero_ratio(
         pooled = pooled[:, : H // k * k, : W // k * k]
         pooled = pooled.reshape(B, H // k, k, W // k, k, C).max(axis=(2, 4))
         nz = jnp.sum((pooled != 0).astype(jnp.float32), axis=(1, 2))  # (B, C)
-        ratios.append(nz / (pooled.shape[1] * pooled.shape[2]))
+        # Reference normalization: count / (C * Hp * Wp)
+        # (sast_rnn.py:57-60 divides by x_down.numel()/B = C*Hp*Wp, an extra
+        # 1/C vs plain per-channel occupancy). Kept bit-compatible so
+        # migrated checkpoints' PositiveLinear(to_controls) sees the exact
+        # reference scale (ADVICE r3: this used to deviate by C=20x).
+        ratios.append(nz / (pooled.shape[1] * pooled.shape[2] * C))
     return jnp.stack(ratios, axis=1)
 
 

@@ -185,7 +185,25 @@ def labels_and_ev_repr_timestamps(
     ts_step_ev_repr_ms: int,
     apply_psee_bbox_filter: bool = True,
     apply_faulty_bbox_filter: bool = True,
+    tick_mode: str = "reference",
 ):
+    """Frame selection + event-repr tick placement.
+
+    ``tick_mode``:
+
+    - ``'reference'`` (default): byte-compatible with the reference's
+      ``count * (ts_step_frame_ms // ts_step_ev_repr_ms)`` repr-count formula
+      (reference preprocess_dataset.py:370-383, ts_step_frame_ms hardcoded to
+      100). For gen1's 250 ms label gaps this yields 2 ticks/gap (125 ms
+      spacing) — datasets preprocessed here are interchangeable with
+      reference-preprocessed ones, so reference checkpoints reproduce their
+      mAP. For gen4 (~100 ms base delta) both modes coincide.
+    - ``'physical'``: opt-in improvement — ticks on the true dt grid
+      (``count * round(base_delta / dt)``): gen1 gets 5 ticks/gap at dt=50 ms,
+      so every event window really spans dt ms. NOT reference-compatible for
+      gen1 (different sequence lengths / window statistics); models trained
+      on physical-tick data are not comparable with reference checkpoints.
+    """
     labels = np.load(str(npy_file))
     assert len(labels) > 0
     labels = filter_labels(
@@ -205,11 +223,12 @@ def labels_and_ev_repr_timestamps(
     first = int(np.searchsorted(unique_ts, align_t_us, side="left"))
     frame_ts = [int(unique_ts[first])]
     reprs_between: List[int] = []
-    # Event-repr ticks per base label delta. NOTE: physically consistent
-    # formulation (gap / dt): gen1 4 Hz labels + dt=50ms -> 5 reprs per gap;
-    # identical to the reference formula for gen4 (count * 100ms / dt), which
-    # the reference hardcodes via ts_step_frame_ms=100 (:341-408).
-    reprs_per_base = max(1, round(base_delta / delta_t_us))
+    # Event-repr ticks per base label delta (see docstring for the two modes).
+    assert tick_mode in ("reference", "physical"), tick_mode
+    if tick_mode == "reference":
+        reprs_per_base = ts_step_frame_ms // ts_step_ev_repr_ms
+    else:
+        reprs_per_base = max(1, round(base_delta / delta_t_us))
     for i in range(first + 1, len(unique_ts)):
         ts = int(unique_ts[i])
         diff = ts - frame_ts[-1]
@@ -391,6 +410,7 @@ def process_sequence(task) -> str:
             ts_step_ev_repr_ms=args.dt_ms,
             apply_psee_bbox_filter=not args.no_psee_filter,
             apply_faulty_bbox_filter=not args.no_faulty_filter,
+            tick_mode=getattr(args, "ticks", "reference"),
         )
     except NoLabelsException:
         shutil.rmtree(out_seq_dir)
@@ -451,6 +471,14 @@ def main() -> None:
                     help="per-frame on-disk layout: tchw = reference-"
                     "compatible channel-first; thwc = model NHWC layout "
                     "(skips the loader's per-batch transpose)")
+    ap.add_argument("--ticks", choices=("reference", "physical"),
+                    default="reference",
+                    help="event-repr tick placement: reference = byte-"
+                    "compatible with the reference's count*(100ms//dt) "
+                    "formula (2 ticks per gen1 250ms gap; REQUIRED for "
+                    "interchange with reference-preprocessed data / "
+                    "checkpoints); physical = true dt grid (5 ticks per "
+                    "gen1 gap at dt=50ms). Identical for gen4.")
     ap.add_argument("--no-psee-filter", action="store_true")
     ap.add_argument("--no-faulty-filter", action="store_true")
     ap.add_argument("-np", "--num-processes", type=int, default=1)

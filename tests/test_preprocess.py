@@ -93,14 +93,24 @@ def test_base_delta():
 
 def test_timestamp_alignment(raw_root):
     npy = raw_root / "train" / "seq0_bbox.npy"
+    # default (reference-compatible) ticks: count*(100//50) = 2 per 250 ms
+    # gen1 gap; warmup prefix stays on the 50 ms grid
     labels_pf, frame_ts, ev_ts, f2r = labels_and_ev_repr_timestamps(
         npy, "gen1", is_train=True, align_t_ms=100, ts_step_ev_repr_ms=50
     )
-    # 4 Hz labels, 50 ms reprs -> 5 reprs between frames
     assert np.all(np.diff(frame_ts) % 250_000 == 0)
-    assert np.all(np.diff(ev_ts) == 50_000)
-    # every labeled frame timestamp equals its repr end timestamp
     np.testing.assert_array_equal(ev_ts[f2r], frame_ts)
+    inter = np.diff(ev_ts[f2r[0]:])
+    assert np.all(inter == 125_000), np.unique(inter)
+
+    # physical ticks (opt-in): true 50 ms grid everywhere
+    _, frame_ts_p, ev_ts_p, f2r_p = labels_and_ev_repr_timestamps(
+        npy, "gen1", is_train=True, align_t_ms=100, ts_step_ev_repr_ms=50,
+        tick_mode="physical",
+    )
+    np.testing.assert_array_equal(frame_ts_p, frame_ts)
+    assert np.all(np.diff(ev_ts_p) == 50_000)
+    np.testing.assert_array_equal(ev_ts_p[f2r_p], frame_ts_p)
 
 
 def test_downsample_int8_offset_trick():

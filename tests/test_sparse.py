@@ -73,7 +73,9 @@ def test_non_zero_ratio_matches_oracle():
     for s, k in enumerate([4, 2, 2, 2]):
         Bp, Hp, Wp, Cp = pooled.shape
         pooled = pooled.reshape(Bp, Hp // k, k, Wp // k, k, Cp).max(axis=(2, 4))
-        frac = (pooled != 0).sum(axis=(1, 2)) / (pooled.shape[1] * pooled.shape[2])
+        frac = (pooled != 0).sum(axis=(1, 2)) / (
+            pooled.shape[1] * pooled.shape[2] * Cp
+        )  # reference normalization: / (C * Hp * Wp), sast_rnn.py:57-60
         np.testing.assert_allclose(r[:, s], frac, rtol=1e-6)
 
 
@@ -93,7 +95,9 @@ def test_non_zero_ratio_floors_odd_dims():
         Bp, Hp, Wp, Cp = pooled.shape
         pooled = pooled[:, : Hp // k * k, : Wp // k * k]
         pooled = pooled.reshape(Bp, Hp // k, k, Wp // k, k, Cp).max(axis=(2, 4))
-        frac = (pooled != 0).sum(axis=(1, 2)) / (pooled.shape[1] * pooled.shape[2])
+        frac = (pooled != 0).sum(axis=(1, 2)) / (
+            pooled.shape[1] * pooled.shape[2] * Cp
+        )
         np.testing.assert_allclose(r[:, s], frac, rtol=1e-6)
 
 
@@ -107,36 +111,50 @@ def test_non_zero_ratio_rejects_sub_factor_extents():
         jax.jit(non_zero_ratio)(x)
 
 
-def test_density_kernel_interpret_matches_xla():
+def test_density_kernel_interpret_matches_xla(monkeypatch):
     """Pallas density pyramid (ops/pallas/density.py) == XLA formulation,
     run on CPU via interpret mode; also checks the zero-tangent custom_jvp
-    lets reverse-mode AD pass through without a pallas transpose rule."""
+    lets reverse-mode AD pass through without a pallas transpose rule.
+
+    Interpret mode is forced by patching the module-local ``_pallas_call``
+    alias (auto-restored by pytest), NOT the shared pallas module
+    (ADVICE r3: the old global mutation could leak into concurrent tests)."""
     from functools import partial
 
     import jax.experimental.pallas as pl
 
     import sast_tpu.ops.pallas.density as dens
 
-    saved = dens.pl.pallas_call
-    dens.pl.pallas_call = partial(pl.pallas_call, interpret=True)
-    try:
-        rng = np.random.RandomState(0)
-        B, H, W, C = 2, 64, 32, 4  # (W*C) % 128 == 0, H and W % 32 == 0
-        x = rng.poisson(0.2, (B, H, W, C)).clip(0, 255).astype(np.uint8)
-        assert dens.ratio_kernel_supported((B, H, W, C), 4, jnp.uint8)
-        got = np.asarray(dens.density_ratio_tpu(jnp.asarray(x)))
-        ref = np.asarray(non_zero_ratio(jnp.asarray(x), use_pallas=False))
-        np.testing.assert_allclose(got, ref, atol=1e-6)
+    monkeypatch.setattr(
+        dens, "_pallas_call", partial(pl.pallas_call, interpret=True)
+    )
+    rng = np.random.RandomState(0)
+    B, H, W, C = 2, 64, 32, 4  # (W*C) % 128 == 0, H and W % 32 == 0
+    x = rng.poisson(0.2, (B, H, W, C)).clip(0, 255).astype(np.uint8)
+    assert dens.ratio_kernel_supported((B, H, W, C), 4, jnp.uint8)
+    got = np.asarray(dens.density_ratio_tpu(jnp.asarray(x)))
+    ref = np.asarray(non_zero_ratio(jnp.asarray(x), use_pallas=False))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
 
-        # r feeds the differentiable scoring module downstream; the kernel's
-        # cotangent path must exist (and be zero into the integer input).
-        w = jnp.ones((B, 4, C))
-        g = jax.grad(
-            lambda w: (dens.density_ratio_tpu(jnp.asarray(x)) * w).sum()
-        )(w)
-        np.testing.assert_allclose(np.asarray(g), np.asarray(got), atol=1e-6)
-    finally:
-        dens.pl.pallas_call = saved
+    # r feeds the differentiable scoring module downstream; the kernel's
+    # cotangent path must exist (and be zero into the integer input).
+    w = jnp.ones((B, 4, C))
+    g = jax.grad(
+        lambda w: (dens.density_ratio_tpu(jnp.asarray(x)) * w).sum()
+    )(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(got), atol=1e-6)
+
+
+def test_ratio_kernel_requires_dtype():
+    """dtype=None (unknown) must be unsupported so signed int8 inputs can
+    never silently route to the kernel (ADVICE r3)."""
+    from sast_tpu.ops.pallas.density import ratio_kernel_supported
+
+    shape = (2, 64, 32, 4)
+    assert ratio_kernel_supported(shape, 4, jnp.uint8)
+    assert not ratio_kernel_supported(shape, 4)          # dtype omitted
+    assert not ratio_kernel_supported(shape, 4, None)
+    assert not ratio_kernel_supported(shape, 4, jnp.int8)
 
 
 def test_density_kernel_gate_rejects_unsupported():
