@@ -512,6 +512,25 @@ class SASTBlock(nn.Module):
             assert masks is not None, "non-first blocks must reuse selection masks"
             win_keep_w, tok_keep_w, win_keep_g, tok_keep_g = masks
 
+        # Selection-shape telemetry for per-sample FLOP accounting
+        # (scripts/benchmark.py --per-sample; the reference's sparsity-FLOPs
+        # sweep, /root/reference/benchmark.py:97-117, traces the gathered
+        # (M kept windows, Kmax padded tokens) shapes — these stats recover
+        # them). No-op unless the caller applies with mutable=['telemetry'].
+        def _sel_stats(win_keep, tok_keep):
+            counts = jnp.sum(tok_keep.astype(jnp.int32), axis=-1)  # (B, N)
+            m = jnp.sum(win_keep.astype(jnp.int32), axis=-1)  # (B,)
+            kmax = jnp.max(jnp.where(win_keep, counts, 0), axis=-1)  # (B,)
+            t_eff = jnp.sum(counts, axis=-1)  # (B,)
+            return jnp.stack([m, kmax, t_eff], axis=-1)  # (B, 3)
+
+        # Guard against init (where every collection is mutable): sowing
+        # there would bake telemetry arrays into the variables tree and make
+        # every later mutable-apply append a second entry.
+        if not self.is_initializing() and self.is_mutable_collection("telemetry"):
+            self.sow("telemetry", "sel_win", _sel_stats(win_keep_w, tok_keep_w))
+            self.sow("telemetry", "sel_grid", _sel_stats(win_keep_g, tok_keep_g))
+
         # First SAST layer: local window attention.
         xw = MaskedSparseAttention(**attn_kwargs, name="win_attn")(
             xw, tok_keep_w, win_keep_w, deterministic=deterministic

@@ -214,3 +214,71 @@ def compute_flops(
 
 def sweep_sparsity_fps(cfg, sparsities=(0.5, 0.75, 0.9, 0.95, 0.99), **kw):
     return {s: compute_fps(cfg, sparsity=s, **kw) for s in sparsities}
+
+
+def transformer_macs_from_telemetry(cfg, telemetry) -> Dict[str, float]:
+    """Reference-style per-sample transformer GFLOPs from selection telemetry.
+
+    The reference's sparsity-FLOPs sweep (/root/reference/benchmark.py:97-117)
+    runs fvcore over the model per sample and reports ``sum - conv``: the
+    transformer matmul MACs at the *gathered* shapes — per attention, the M
+    kept windows padded to Kmax tokens. Our masked formulation executes
+    statically, so the equivalent number is reconstructed analytically from
+    the sown (M, Kmax, T_eff) stats (models/sast.py SASTBlock): per
+    attention with T = M * Kmax gathered tokens, C channels, I gated-MLP
+    inner dim —
+
+        qkv    T * C * 3C
+        logits M * Kmax^2 * C      (sum over heads of Kmax^2 * dim_head)
+        att*v  M * Kmax^2 * C
+        proj   T * C * C
+        glu    T * C * 2I ; out  T * I * C
+
+    plus the first block's full-layout scoring matmul N * hw * C^2. MAC
+    convention (1 multiply-add = 1 FLOP) to match fvcore. Batch must be 1.
+
+    ``telemetry``: the mutable 'telemetry' collection from model.apply.
+    Returns {'gflops_transformer', 'gflops_stage{i}', 't_eff_total'}.
+    """
+    bb = cfg.model.backbone
+    hw = bb.attention.partition_size[0] * bb.attention.partition_size[1]
+    out: Dict[str, float] = {}
+    total = 0.0
+    t_eff_total = 0
+    bb_tel = telemetry
+    for key in ("backbone",):  # detector nests the backbone collection
+        if key in bb_tel:
+            bb_tel = bb_tel[key]
+    for i, C in enumerate(bb.stage_dims):
+        inner = max(32, (C * bb.attention.mlp_ratio * 2 // 3) // 32 * 32)
+        stage_tel = bb_tel.get(f"stage{i}", {})
+        stage_macs = 0.0
+        for j in range(bb.num_blocks[i]):
+            blk = stage_tel.get(f"block{j}", {})
+            for sel_name in ("sel_win", "sel_grid"):
+                if sel_name not in blk:
+                    continue
+                stats = blk[sel_name][-1]  # (B, 3) int32; B == 1
+                m, kmax, t_eff = (int(v) for v in np.asarray(stats)[0])
+                t_pad = m * kmax
+                stage_macs += (
+                    t_pad * C * 3 * C          # qkv
+                    + 2 * m * kmax * kmax * C  # logits + att*v
+                    + t_pad * C * C            # proj
+                    + t_pad * C * 2 * inner    # glu
+                    + t_pad * inner * C        # out proj
+                )
+                t_eff_total += t_eff
+            if j == 0 and blk:
+                # scoring module on the full window layout
+                n_windows = None
+                # N = stage tokens / hw; derive from model resolution
+                h = bb.in_res_hw[0] // bb.stage_strides[i]
+                w = bb.in_res_hw[1] // bb.stage_strides[i]
+                n_windows = (h * w) // hw
+                stage_macs += n_windows * hw * C * C
+        out[f"gflops_stage{i + 1}"] = stage_macs / 1e9
+        total += stage_macs
+    out["gflops_transformer"] = total / 1e9
+    out["t_eff_total"] = float(t_eff_total)
+    return out
