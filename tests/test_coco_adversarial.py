@@ -187,7 +187,11 @@ def test_cross_image_global_ranking():
 
 def _pycoco_eval(gt_per_image, dt_per_image, num_classes):
     """Run the same fixtures through real pycocotools (if importable)."""
-    pycocotools = pytest.importorskip("pycocotools")  # noqa: F841
+    pycocotools = pytest.importorskip("pycocotools")
+    if getattr(pycocotools, "__sast_tpu_stub__", False):
+        # test_eval_nms_parity installs a sys.modules stub so the reference
+        # coco_eval module imports; it is not the real library.
+        pytest.skip("pycocotools is a test stub, not the real library")
     from pycocotools.coco import COCO
     from pycocotools.cocoeval import COCOeval
 

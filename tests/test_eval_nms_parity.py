@@ -34,6 +34,7 @@ add_reference_to_path()
 # function under test) never touches it.
 if "pycocotools" not in sys.modules:
     pc = types.ModuleType("pycocotools")
+    pc.__sast_tpu_stub__ = True  # lets other tests tell stub from real
     coco_mod = types.ModuleType("pycocotools.coco")
     coco_mod.COCO = object
     ce_mod = types.ModuleType("pycocotools.cocoeval")
