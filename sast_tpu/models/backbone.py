@@ -134,7 +134,10 @@ class SASTBackbone(nn.Module):
         r = non_zero_ratio(
             x, num_stages=num_stages, use_pallas=cfg.ratio_pallas
         )  # (B, S, C_in)
-        x = x.astype(self.dtype or jnp.float32)
+        if not jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(self.dtype or jnp.float32)
+        # else: u8 event histograms flow raw into the stage-0 downsample,
+        # which converts on-chip (ConvDownsample / Pallas stem fast path).
 
         features: Dict[int, jnp.ndarray] = {}
         states: List[LstmState] = []

@@ -129,7 +129,14 @@ class ConvDownsample(nn.Module):
             kernel = _ConvKernelParam(
                 (7, 7, x.shape[-1], self.dim_out), name="Conv_0"
             )()
-            x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            integer_in = jnp.issubdtype(x.dtype, jnp.integer)
+            if integer_in:
+                # u8 event histograms enter the Pallas kernel raw (the cast
+                # to compute dtype happens in VMEM): pads move half the HBM
+                # bytes and the pre-cast full-resolution bf16 copy vanishes.
+                kernel = kernel.astype(self.dtype or jnp.float32)
+            else:
+                x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
             if (
                 self.use_pallas_stem
                 and jax.default_backend() == "tpu"
@@ -143,6 +150,8 @@ class ConvDownsample(nn.Module):
             ):
                 x = stem_conv_7x4(x, kernel)
             else:
+                if integer_in:
+                    x = x.astype(kernel.dtype)
                 x = stem_conv_xla(x, kernel)
             return nn.LayerNorm(
                 epsilon=self.norm_eps,

@@ -262,8 +262,15 @@ class MaskedSparseAttention(nn.Module):
             qkv = zc @ w_qkv.astype(dt)
             if b_qkv is not None:
                 qkv = qkv + b_qkv.astype(dt)
-            qkv = qkv.reshape(*qkv.shape[:3], 3, num_heads, self.dim_head)
-            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+            # Slice q/k/v along the minor (channel) axis BEFORE exposing the
+            # head axis: the 6-D (…, 3, heads, dh) reshape-then-slice form
+            # makes XLA materialize a physical relayout of the full 3C-wide
+            # qkv tensor (2x180 us/step at gen4 stage 1 in the round-4 xprof
+            # trace); minor slices keep the copy off the 3x-wide tensor.
+            qkv = qkv.reshape(*qkv.shape[:3], 3 * num_heads, self.dim_head)
+            q = qkv[:, :, :, 0:num_heads]
+            k = qkv[:, :, :, num_heads : 2 * num_heads]
+            v = qkv[:, :, :, 2 * num_heads :]
 
             scale = self.dim_head ** -0.5
             # (B', N', heads, hw_q, hw_k)

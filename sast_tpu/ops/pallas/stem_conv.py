@@ -14,12 +14,19 @@ HBM. Measured on v5e (gen4 stem shape): 0.583 ms vs 1.514 ms XLA (2.6x);
 at the full-model level it cuts the gen4-base inference step from 6.22 to
 5.34 ms (scripts/ablate_kernels.py, argument-passed operands).
 
-* Outside (XLA, fused pads): cast to the compute dtype, replicate-pad by
-  one full stride block (edge rows/cols beyond the reference's pad=3 carry
-  zero weight and are never read), zero-pad channels to a multiple of 32 so
-  the folded 4-column blocks are exactly lane-width (4*32 = 128 — measured
-  23% faster than the 80-lane unpadded layout), and view W as 4-column
-  blocks: ``(B, H', W'/4, 4*Cpad)`` — a contiguous (free) reshape.
+* Outside (XLA, fused pads): replicate-pad by one full stride block (edge
+  rows/cols beyond the reference's pad=3 carry zero weight and are never
+  read) IN THE INPUT DTYPE — for u8 event histograms the pad writes half
+  the bytes of a pre-cast bf16 pad — zero-pad channels to a multiple of 32
+  so the folded 4-column blocks are exactly lane-width (4*32 = 128 —
+  measured 23% faster than the 80-lane unpadded layout), view W as
+  4-column blocks ``(B, H', W'/4, 4*Cpad)`` (a contiguous reshape), and
+  cast integer inputs to the compute dtype at that pack boundary: XLA
+  fuses the convert into the relayout copy the custom call forces anyway,
+  one u8-read/bf16-write pass (round 4: 129 us vs 136 us for the bf16-all-
+  the-way prologue and 163 us for a raw-u8 relayout — u8 relayouts at
+  (8,128)(4,1) tiling cost MORE per byte than bf16, and in-VMEM
+  u8->i32->f32->bf16 widening eats the HBM savings; both measured).
 * Grid ``(B, H_out/TH)``: each program produces a (TH, W_out, Cout) output
   band. The 7-row receptive fields of a band span 4*TH + 4 input rows = its
   own block plus the first 4 rows of the next block — the halo is expressed
@@ -84,6 +91,13 @@ def _band_kernel(a_ref, h_ref, w_ref, o_ref, *, th: int, c4: int, cout: int):
     # so for a fixed tap, the th operand rows are a UNIT-stride slice over
     # row groups at a fixed within-group offset.
     slab = jnp.concatenate([a_ref[0], h_ref[0]], axis=0)
+    if slab.dtype != w_ref.dtype:
+        # Integer fast path: the u8 event histogram is fetched raw (half the
+        # HBM bytes of a pre-cast bf16 copy) and converted in VMEM. Mosaic
+        # has no direct u8->bf16 cast, so widen through i32/f32.
+        if jnp.issubdtype(slab.dtype, jnp.integer):
+            slab = slab.astype(jnp.int32).astype(jnp.float32)
+        slab = slab.astype(w_ref.dtype)
     wb_in = slab.shape[1]          # W'/4 column blocks
     wo = wb_in - 2                 # output columns
     slab4 = slab.reshape(th + 1, FACTOR, wb_in, c4)
@@ -108,6 +122,11 @@ def _stem_fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
     assert stem_kernel_supported(x.shape), x.shape
+    # Compute/output dtype: the weight's for integer inputs (u8 event
+    # histograms enter raw; the cast happens in VMEM inside the kernel),
+    # otherwise the input's (weights were already promoted by the caller).
+    integer_in = jnp.issubdtype(x.dtype, jnp.integer)
+    cdt = w.dtype if integer_in else x.dtype
     Ho, Wo = H // FACTOR, W // FACTOR
     nb = Ho // TH
     R = FACTOR * TH
@@ -130,11 +149,18 @@ def _stem_fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, Cp - Cin)))
     c4 = FACTOR * Cp
     xp4 = xp.reshape(B, Hp, (W + 2 * FACTOR) // FACTOR, c4)
+    if integer_in:
+        # Cast at the pack boundary: the pads above ran in u8 (half the
+        # write bytes), and XLA fuses this convert into the relayout copy
+        # the custom call forces anyway (one u8-read/bf16-write pass instead
+        # of a u8 relayout + in-VMEM widening, which Mosaic does ~40% slower
+        # than a bf16 fetch at this shape — round-4 trace).
+        xp4 = xp4.astype(cdt)
 
     # Weight: (7, 7, Cin, Cout) -> (7, 2, 4*Cp, Cout). Tap kj sits at
     # within-4-block column rj = (1+kj) % 4 of block shift (1+kj) // 4; a
     # leading zero slot realizes the never-read (rj=0, shift=0) position.
-    wp = jnp.pad(w, ((0, 0), (1, 0), (0, Cp - Cin), (0, 0))).astype(x.dtype)
+    wp = jnp.pad(w, ((0, 0), (1, 0), (0, Cp - Cin), (0, 0))).astype(cdt)
     wk = wp.reshape(KSIZE, 2, c4, Cout)
 
     wb_in = xp4.shape[2]
@@ -152,7 +178,7 @@ def _stem_fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
             pl.BlockSpec((KSIZE, 2, c4, Cout), lambda b, i: (0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, TH, Wo, Cout), lambda b, i: (b, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), cdt),
     )(xp4, xp4, wk)
     return out
 
@@ -169,6 +195,14 @@ def _fwd(x, w):
 
 def _bwd(res, g):
     x, w = res
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # u8 fast path: the input has no tangent (float0); only dL/dw flows.
+        xf = x.astype(w.dtype)
+        _, vjp = jax.vjp(stem_conv_xla, xf, w)
+        _, gw = vjp(g.astype(w.dtype))
+        import numpy as np
+
+        return np.zeros(x.shape, jax.dtypes.float0), gw.astype(w.dtype)
     _, vjp = jax.vjp(stem_conv_xla, x, w.astype(x.dtype))
     gx, gw = vjp(g.astype(x.dtype))
     return gx, gw.astype(w.dtype)

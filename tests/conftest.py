@@ -18,6 +18,11 @@ if "--xla_force_host_platform_device_count" not in flags:
 for _flag in (
     "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300",
     "--xla_cpu_collective_timeout_seconds=3000",
+    # The flag that controls the 40 s termination CHECK in this jaxlib
+    # build (xla::cpu::TerminateTimeout; verified by symbol dump — see
+    # __graft_entry__._worker_env). Without it the two flags above only
+    # delay the warning, not the process kill.
+    "--xla_cpu_collective_call_terminate_timeout_seconds=3000",
 ):
     if _flag.split("=")[0] not in os.environ["XLA_FLAGS"]:
         os.environ["XLA_FLAGS"] += " " + _flag
