@@ -270,11 +270,16 @@ class TrainingConfig:
     ema_decay: float = 0.0  # 0 disables EMA
     seed: Optional[int] = None
     # BPTT rematerialization policy for the backbone scan step:
-    #   "dots" — jax.checkpoint with dots_saveable (save matmul/conv outputs,
-    #            recompute elementwise chains); the memory/speed default
-    #   "none" — no remat (save everything); fastest when HBM allows
-    #   "full" — full remat (save nothing); minimum memory, ~40x slower
-    remat_policy: str = "dots"
+    #   "full" — full remat (save only the scan carry); round-4 sweep on
+    #            hardware (scripts/profile_train.py): FASTEST on both
+    #            production recipes (gen1-base 234.6 vs 273.0 ms, gen4-base
+    #            368.1 vs 416.0 ms vs "dots") at 3.7x/2.2x less temp HBM —
+    #            the train step is HBM-bound, so recomputing beats storing
+    #   "dots" — dots_saveable (save matmul/conv outputs); more memory,
+    #            ~12-14% slower on v5e
+    #   "none" — no remat (save everything); OOMs both production recipes
+    #            on one v5e (34.7 GiB > 15.75 GiB at gen1-base B8 T21)
+    remat_policy: str = "full"
 
 
 @dataclass(frozen=True)

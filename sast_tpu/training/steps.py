@@ -123,10 +123,15 @@ def _backbone_scan(
     happen INSIDE the scan, in uint8, so only one padded timestep ever
     materializes and at 1 byte/element; the backbone stem does the (exact)
     cast to its compute dtype.
-    The scan step is rematerialized with the ``dots_saveable`` policy:
-    matmul/conv outputs are saved, elementwise chains recomputed — 20x faster
-    than full rematerialization on v5e (fetch-clean: 6.3 ms per gen1-base
-    B=8 T=21 step; full remat measured 258 ms) at acceptable memory.
+    The scan step is rematerialized per timestep; the default policy is
+    ``full`` (save only the scan carry): the round-4 hardware sweep
+    (scripts/profile_train.py) measured it FASTEST on both production
+    recipes (gen1-base 234.6 vs 273.0 ms, gen4-base 368.1 vs 416.0 ms vs
+    ``dots``) at 2-4x less temp HBM — the step is HBM-bound, so
+    recomputing the forward beats storing it. (The round-2 claim that
+    full remat was "20x slower" was a pre-cliff dispatch artifact,
+    docs/DESIGN.md §6.) ``dots`` (save matmul/conv outputs) remains as an
+    option; ``none`` OOMs the production recipes on one v5e.
 
     When ``dropout_rng`` is given (and deterministic=False), a fresh dropout
     key is split off the scan carry each timestep, so drop_path /
