@@ -145,6 +145,18 @@ class AttentionConfig:
     amp: float = 2e-4       # 'AMP' selection amplification constant
     bounce: float = 1e-3    # 'BOUNCE' threshold slack
     norm_eps: float = 1e-5
+    # Force the window/grid partition transpose to materialize on the C-wide
+    # activation (optimization_barrier right after the partition) instead of
+    # letting XLA defer it into the first layout-constrained consumer — the
+    # 3C-wide qkv product at stage 0 (2 x 180 us/step relayouts in the gen4
+    # trace, docs/DESIGN.md 6d). Numerically the barrier is an identity
+    # (tests/test_model.py test_pin_partition_layout_is_numerically_identity).
+    # Default ON since round 4: measured by scripts/ablate_layout_pin.py and
+    # scripts/profile_train.py --pin on hardware — gen4-base b4 inference
+    # 4.459 -> 4.139 ms/step (+7.2%), gen1-base 1.417 -> 1.366 ms (+3.6%),
+    # gen1-base B8 T21 train step 235.5 -> 229.1 ms with temp HBM
+    # 2.75 -> 2.68 GiB.
+    pin_partition_layout: bool = True
 
 
 @dataclass(frozen=True)

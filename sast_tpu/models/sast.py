@@ -538,6 +538,14 @@ class SASTBlock(nn.Module):
             self.sow("telemetry", "sel_win", _sel_stats(win_keep_w, tok_keep_w))
             self.sow("telemetry", "sel_grid", _sel_stats(win_keep_g, tok_keep_g))
 
+        if cfg.pin_partition_layout:
+            # Materialize the deferred partition transpose HERE, on the
+            # C-wide activation, rather than inside the attention where XLA
+            # otherwise surfaces it on the 3C-wide qkv product (stage-0
+            # relayouts in the round-4 trace, docs/DESIGN.md 6d; -320 us/step
+            # on the gen4-base streaming step, ablate_layout_pin.py).
+            xw = jax.lax.optimization_barrier(xw)
+
         # First SAST layer: local window attention.
         xw = MaskedSparseAttention(**attn_kwargs, name="win_attn")(
             xw, tok_keep_w, win_keep_w, deterministic=deterministic
@@ -546,6 +554,8 @@ class SASTBlock(nn.Module):
 
         # Second SAST layer: dilated grid attention.
         xg = grid_partition(x, p)
+        if cfg.pin_partition_layout:
+            xg = jax.lax.optimization_barrier(xg)
         xg = MaskedSparseAttention(**attn_kwargs, name="grid_attn")(
             xg, tok_keep_g, win_keep_g, deterministic=deterministic
         )

@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def build(cfg, remat_policy: str):
+def build(cfg, remat_policy: str, pin: bool | None = None):
     import dataclasses
 
     import jax
@@ -35,6 +35,14 @@ def build(cfg, remat_policy: str):
     cfg = dataclasses.replace(
         cfg, training=dataclasses.replace(cfg.training, remat_policy=remat_policy)
     )
+    if pin is not None:
+        attn = dataclasses.replace(
+            cfg.model.backbone.attention, pin_partition_layout=pin
+        )
+        bb = dataclasses.replace(cfg.model.backbone, attention=attn)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone=bb)
+        )
     state, model = steps_mod.create_train_state(cfg, jax.random.PRNGKey(0))
     train_step = steps_mod.make_train_step(model, cfg)
 
@@ -48,7 +56,7 @@ def build(cfg, remat_policy: str):
     return jax.jit(train_step, donate_argnums=(0,)), state, batch, lstm
 
 
-def time_policies(cfg, policies, trace_dir=None) -> None:
+def time_policies(cfg, policies, trace_dir=None, pin=None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +65,7 @@ def time_policies(cfg, policies, trace_dir=None) -> None:
     sync_dispatch()
     results = {}
     for pol in policies:
-        step_fn, state, batch, lstm = build(cfg, pol)
+        step_fn, state, batch, lstm = build(cfg, pol, pin=pin)
         compiled = step_fn.lower(state, batch, lstm).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
@@ -111,6 +119,8 @@ def main() -> None:
     ap.add_argument("--policies", default="dots")
     ap.add_argument("--trace", type=str, default=None,
                     help="capture an xprof trace of one step to this dir")
+    ap.add_argument("--pin", type=int, choices=(0, 1), default=None,
+                    help="override attention.pin_partition_layout")
     args = ap.parse_args()
 
     from sast_tpu.config import get_config
@@ -118,7 +128,8 @@ def main() -> None:
 
     enable_compilation_cache()
     cfg = get_config(args.dataset, args.size)
-    time_policies(cfg, args.policies.split(","), trace_dir=args.trace)
+    pin = None if args.pin is None else bool(args.pin)
+    time_policies(cfg, args.policies.split(","), trace_dir=args.trace, pin=pin)
 
 
 if __name__ == "__main__":

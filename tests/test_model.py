@@ -507,3 +507,23 @@ def test_inference_step_applies_token_mask():
         ).max()
     )
     assert diff > 1e-6, "mask token substitution must change raw predictions"
+
+
+def test_pin_partition_layout_is_numerically_identity(setup):
+    """pin_partition_layout only inserts optimization_barriers (a layout
+    pin for the stage-0 relayout experiment, docs/DESIGN.md 6d); outputs
+    must be bit-identical to the unpinned model on the same weights."""
+    cfg, model, variables, x, states = setup
+    attn = dataclasses.replace(
+        cfg.model.backbone.attention, pin_partition_layout=True
+    )
+    backbone = dataclasses.replace(cfg.model.backbone, attention=attn)
+    pinned = YoloXDetector(dataclasses.replace(cfg.model, backbone=backbone))
+
+    out0, st0, p0 = jax.jit(model.apply)(variables, x, states)
+    out1, st1, p1 = jax.jit(pinned.apply)(variables, x, states)
+    np.testing.assert_array_equal(np.asarray(out0["preds"]), np.asarray(out1["preds"]))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    for (h0, c0), (h1, c1) in zip(st0, st1):
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
