@@ -42,6 +42,53 @@ def _warn_dropped_frames(found: int, budget: int) -> None:
         _dropped_warned = True
 
 
+def pack_batch_labels(
+    label_lists: List[List[Optional[FrameLabels]]],
+    max_labeled_frames: int,
+    max_gt: int,
+    keep_last: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Per-lane per-timestep label lists -> static label arrays.
+
+    Shared by the host ``assemble_batch`` and the in-HBM dataset cache
+    (data/device_cache.py), which builds ``ev_repr`` on device but packs
+    labels with this exact host logic."""
+    B = len(label_lists)
+    L = max_labeled_frames
+
+    frame_tidx = np.zeros((B, L), np.int32)
+    frame_valid = np.zeros((B, L), bool)
+    sel_labels: List[List[Optional[FrameLabels]]] = []
+    for b, labels in enumerate(label_lists):
+        tidx = [
+            t for t, fl in enumerate(labels) if fl is not None and len(fl) > 0
+        ]
+        if len(tidx) > L:
+            _warn_dropped_frames(len(tidx), L)
+        if keep_last:
+            tidx = tidx[-L:]
+        else:
+            tidx = tidx[:L]
+        frame_tidx[b, : len(tidx)] = tidx
+        frame_valid[b, : len(tidx)] = True
+        lane_labels: List[Optional[FrameLabels]] = [labels[t] for t in tidx]
+        lane_labels += [None] * (L - len(tidx))
+        sel_labels.append(lane_labels)
+
+    flat = [fl for lane in sel_labels for fl in lane]
+    boxes, classes, valid = pad_labels_yolox(flat, max_gt)  # (B*L, G, ...)
+
+    return {
+        "frame_tidx": frame_tidx,
+        "frame_valid": frame_valid,
+        "gt_boxes": boxes.reshape(B, L, max_gt, 4),
+        "gt_classes": classes.reshape(B, L, max_gt),
+        "gt_valid": valid.reshape(B, L, max_gt),
+        # Host-side references for evaluation (not shipped to device).
+        "_labels": sel_labels,
+    }
+
+
 def assemble_batch(
     clips: List[dict],
     max_labeled_frames: int,
@@ -55,10 +102,6 @@ def assemble_batch(
     reference's preference for evaluating late-sequence frames,
     modules/detection.py:180-184).
     """
-    B = len(clips)
-    T = clips[0]["ev_repr"].shape[0]
-    L = max_labeled_frames
-
     # (T, B, H, W*C) uint8: the merged minor dim defeats the TPU lane
     # padding (C=20 alone pads 6.4x to 128 lanes and XLA additionally
     # relayouts the whole sequence, +2.3 GB on the gen4 recipe). The
@@ -68,43 +111,13 @@ def assemble_batch(
     ev = np.ascontiguousarray(ev).reshape(T_, B_, H_, W_ * C_)
     is_first = np.array([c["is_first"] for c in clips], bool)
 
-    frame_tidx = np.zeros((B, L), np.int32)
-    frame_valid = np.zeros((B, L), bool)
-    sel_labels: List[List[Optional[FrameLabels]]] = []
-    for b, clip in enumerate(clips):
-        tidx = [
-            t
-            for t, fl in enumerate(clip["labels"])
-            if fl is not None and len(fl) > 0
-        ]
-        if len(tidx) > L:
-            _warn_dropped_frames(len(tidx), L)
-        if keep_last:
-            tidx = tidx[-L:]
-        else:
-            tidx = tidx[:L]
-        frame_tidx[b, : len(tidx)] = tidx
-        frame_valid[b, : len(tidx)] = True
-        lane_labels: List[Optional[FrameLabels]] = [
-            clip["labels"][t] for t in tidx
-        ]
-        lane_labels += [None] * (L - len(tidx))
-        sel_labels.append(lane_labels)
-
-    flat = [fl for lane in sel_labels for fl in lane]
-    boxes, classes, valid = pad_labels_yolox(flat, max_gt)  # (B*L, G, ...)
-
-    return {
-        "ev_repr": ev,  # (T, B, H, W*C) uint8/float32, native resolution
-        "frame_tidx": frame_tidx,
-        "frame_valid": frame_valid,
-        "gt_boxes": boxes.reshape(B, L, max_gt, 4),
-        "gt_classes": classes.reshape(B, L, max_gt),
-        "gt_valid": valid.reshape(B, L, max_gt),
-        "is_first": is_first,
-        # Host-side references for evaluation (not shipped to device).
-        "_labels": sel_labels,
-    }
+    batch = pack_batch_labels(
+        [c["labels"] for c in clips], max_labeled_frames, max_gt,
+        keep_last=keep_last,
+    )
+    batch["ev_repr"] = ev  # (T, B, H, W*C) uint8/float32, native resolution
+    batch["is_first"] = is_first
+    return batch
 
 
 def split_device_batch(batch: Dict[str, np.ndarray]):

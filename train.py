@@ -58,6 +58,13 @@ def main() -> None:
         help="train through the Pallas window-skipping kernel (custom VJP; "
         "TPU only, requires drop_path/drop_mlp == 0)",
     )
+    ap.add_argument(
+        "--device-cache", action="store_true",
+        help="keep the whole train split's event representations resident "
+        "in device HBM and gather clips on device (zero per-step upload; "
+        "single process, flip-only augmentation, dataset must fit in HBM — "
+        "see sast_tpu/data/device_cache.py)",
+    )
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--val-every", type=int, default=10_000)
     ap.add_argument("--log-every", type=int, default=50)
@@ -156,8 +163,21 @@ def main() -> None:
         first, _, last = args.profile_steps.partition(":")
         profile_steps = (int(first), int(last or first))
 
+    if args.device_cache:
+        assert mesh is None and world == 1, (
+            "--device-cache is single-process/single-device; use the host "
+            "loader for mesh/multi-host runs"
+        )
+        from sast_tpu.data.device_cache import DeviceCachedTrainStream
+
+        train_batches = DeviceCachedTrainStream(
+            cfg, seed=cfg.training.seed or 0
+        )
+    else:
+        train_batches = dm.train_batches(seed=cfg.training.seed or 0)
+
     trainer.fit(
-        dm.train_batches(seed=cfg.training.seed or 0),
+        train_batches,
         eval_loader_fn=lambda: dm.eval_batches("test"),
         max_steps=args.max_steps,
         profile_steps=profile_steps,
