@@ -191,6 +191,86 @@ class _RandomSchedule:
         return rows
 
 
+class _HbmCache:
+    """One split's event representations resident in HBM + the jitted clip
+    gather. Shared by the train and eval cached streams."""
+
+    def __init__(self, cfg: ExperimentConfig, split: str):
+        import jax
+
+        ds = cfg.dataset
+        self.seq_len = ds.sequence_length
+        self.readers = [
+            SequenceReader(p, ds.ev_repr_name, ds.name, ds.downsample_by_factor_2)
+            for p in discover_sequences(Path(ds.path), split)
+        ]
+        c, h, w = self.readers[0].ev_repr_shape
+        self.hw = (h, w)
+        self.channels = c
+        counts = np.array([r.num_ev_repr for r in self.readers], np.int64)
+        self.offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        total = int(counts.sum())
+
+        # Host cache (N + seq_len, H, W*C) u8 — the seq_len zero tail keeps
+        # every dynamic_slice in bounds (tail clips read past their stream's
+        # end; those frames are masked to zero anyway, and unclamped slices
+        # would otherwise shift the window).
+        nbytes = (total + self.seq_len) * h * w * c
+        print(
+            f"device cache[{split}]: uploading {len(self.readers)} sequences, "
+            f"{total} frames, {nbytes / 2**30:.2f} GiB uint8 to device HBM",
+            file=sys.stderr,
+        )
+        host = np.zeros((total + self.seq_len, h, w * c), np.uint8)
+        for r, off in zip(self.readers, self.offsets):
+            ev = r.get_ev_repr(0, r.num_ev_repr)  # (n, H, W, C) uint8
+            host[off : off + r.num_ev_repr] = ev.reshape(r.num_ev_repr, h, w * c)
+            r.close()
+        self.cache = jax.device_put(host)
+        del host
+        self._gather = self._build_gather()
+
+    def _build_gather(self):
+        import jax
+        import jax.numpy as jnp
+
+        T = self.seq_len
+        H, W = self.hw
+        C = self.channels
+
+        def gather(cache, starts, n_real, flip):
+            def lane(start, nr, fl):
+                ev = jax.lax.dynamic_slice(
+                    cache, (start, 0, 0), (T, H, W * C)
+                )  # (T, H, W*C) u8
+                mask = (jnp.arange(T, dtype=jnp.int32) < nr)[:, None, None]
+                ev = jnp.where(mask, ev, jnp.uint8(0))
+                # Same pixels as the host augmentor's ev[:, :, ::-1]
+                # (data/augment.py:153): reverse W, keep C order.
+                evf = jnp.flip(ev.reshape(T, H, W, C), axis=2).reshape(
+                    T, H, W * C
+                )
+                return jnp.where(fl, evf, ev)
+
+            ev = jax.vmap(lane)(starts, n_real, flip)  # (B, T, H, W*C)
+            return jnp.transpose(ev, (1, 0, 2, 3))  # (T, B, H, W*C)
+
+        return jax.jit(gather)
+
+    def rows_to_batch(self, rows, max_labeled_frames: int, max_gt: int) -> dict:
+        """(start, n_real, is_first, flip, labels) rows -> batch dict."""
+        starts = np.array([r[0] for r in rows], np.int32)
+        n_real = np.array([r[1] for r in rows], np.int32)
+        is_first = np.array([r[2] for r in rows], bool)
+        flip = np.array([r[3] for r in rows], bool)
+        batch = pack_batch_labels(
+            [r[4] for r in rows], max_labeled_frames, max_gt
+        )
+        batch["ev_repr"] = self._gather(self.cache, starts, n_real, flip)
+        batch["is_first"] = is_first
+        return batch
+
+
 class DeviceCachedTrainStream:
     """Infinite train batches with ``ev_repr`` gathered from an HBM-resident
     cache (a drop-in replacement for ``DataModule.train_batches`` for the
@@ -198,8 +278,6 @@ class DeviceCachedTrainStream:
     HBM)."""
 
     def __init__(self, cfg: ExperimentConfig, seed: int = 0):
-        import jax
-
         ds = cfg.dataset
         mode = ds.train_sampling
         assert mode in ("stream", "random", "mixed"), mode
@@ -207,12 +285,12 @@ class DeviceCachedTrainStream:
         # The host samplers receive seed=(user_seed + rank); the cache is
         # single-process, so rank is always 0 and the seed passes as-is.
         self._seed = seed
-        self.seq_len = ds.sequence_length
         self.batch_size = B = cfg.training.batch_size_train
-        self.readers = [
-            SequenceReader(p, ds.ev_repr_name, ds.name, ds.downsample_by_factor_2)
-            for p in discover_sequences(Path(ds.path), "train")
-        ]
+        self._hbm = _HbmCache(cfg, "train")
+        self.seq_len = self._hbm.seq_len
+        self.readers = self._hbm.readers
+        self.offsets = self._hbm.offsets
+        self.hw = self._hbm.hw
 
         def flip_only(aug, kind):
             if aug.rotate_prob > 0 or aug.zoom.prob > 0:
@@ -258,61 +336,6 @@ class DeviceCachedTrainStream:
             "no labeled streams in the train split"
         )
 
-        c, h, w = self.readers[0].ev_repr_shape
-        self.hw = (h, w)
-        self.channels = c
-        counts = np.array([r.num_ev_repr for r in self.readers], np.int64)
-        self.offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        total = int(counts.sum())
-
-        # Build the host cache (N + seq_len, H, W*C) u8 — the seq_len zero
-        # tail keeps every dynamic_slice in bounds (tail clips read past
-        # their stream's end; those frames are masked to zero anyway, and
-        # unclamped slices would otherwise shift the window).
-        nbytes = (total + self.seq_len) * h * w * c
-        print(
-            f"device cache: uploading {len(self.readers)} sequences, "
-            f"{total} frames, {nbytes / 2**30:.2f} GiB uint8 to device HBM",
-            file=sys.stderr,
-        )
-        host = np.zeros((total + self.seq_len, h, w * c), np.uint8)
-        for r, off in zip(self.readers, self.offsets):
-            ev = r.get_ev_repr(0, r.num_ev_repr)  # (n, H, W, C) uint8
-            host[off : off + r.num_ev_repr] = ev.reshape(
-                r.num_ev_repr, h, w * c
-            )
-            r.close()
-        self.cache = jax.device_put(host)
-        del host
-        self._gather = self._build_gather()
-
-    def _build_gather(self):
-        import jax
-        import jax.numpy as jnp
-
-        T = self.seq_len
-        H, W = self.hw
-        C = self.channels
-
-        def gather(cache, starts, n_real, flip):
-            def lane(start, nr, fl):
-                ev = jax.lax.dynamic_slice(
-                    cache, (start, 0, 0), (T, H, W * C)
-                )  # (T, H, W*C) u8
-                mask = (jnp.arange(T, dtype=jnp.int32) < nr)[:, None, None]
-                ev = jnp.where(mask, ev, jnp.uint8(0))
-                # Same pixels as the host augmentor's ev[:, :, ::-1]
-                # (data/augment.py:153): reverse W, keep C order.
-                evf = jnp.flip(ev.reshape(T, H, W, C), axis=2).reshape(
-                    T, H, W * C
-                )
-                return jnp.where(fl, evf, ev)
-
-            ev = jax.vmap(lane)(starts, n_real, flip)  # (B, T, H, W*C)
-            return jnp.transpose(ev, (1, 0, 2, 3))  # (T, B, H, W*C)
-
-        return jax.jit(gather)
-
     def __iter__(self) -> Iterator[dict]:
         ds = self.cfg.dataset
         lanes = [
@@ -339,13 +362,73 @@ class DeviceCachedTrainStream:
             rows = [next(lane) for lane in lanes]
             if random_sched is not None:
                 rows += random_sched.next_rows()
-            starts = np.array([r[0] for r in rows], np.int32)
-            n_real = np.array([r[1] for r in rows], np.int32)
-            is_first = np.array([r[2] for r in rows], bool)
-            flip = np.array([r[3] for r in rows], bool)
-            batch = pack_batch_labels(
-                [r[4] for r in rows], tr.max_labeled_frames_per_lane, max_gt
+            yield self._hbm.rows_to_batch(
+                rows, tr.max_labeled_frames_per_lane, max_gt
             )
-            batch["ev_repr"] = self._gather(self.cache, starts, n_real, flip)
-            batch["is_first"] = is_first
-            yield batch
+
+
+class DeviceCachedEvalStream:
+    """Finite eval batches from the HBM cache — the cached counterpart of
+    ``DataModule.eval_batches``: the same zig-zag lane sharding, lane
+    chaining, per-stream is_first resets, and fully-padded fill clips as
+    ShardedEvalSampler (data/streaming.py:120-176; single-process, so
+    rank=0/world=1). Eval applies no augmentation, so the cached batches
+    are bit-equal to the host path unconditionally."""
+
+    def __init__(self, cfg: ExperimentConfig, split: str = "val"):
+        from sast_tpu.data.streaming import zigzag_assign
+
+        self.cfg = cfg
+        self.batch_size = cfg.training.batch_size_eval
+        self._hbm = _HbmCache(cfg, split)
+        T = self._hbm.seq_len
+
+        # One eval stream per sequence (guarantee_labels=False), zig-zag
+        # dealt over the lanes by clip count, exactly like the host sampler.
+        self.streams: List[Tuple[int, List[Tuple[int, int]]]] = []
+        for ri, r in enumerate(self._hbm.readers):
+            for ranges in r.streams(T, False):
+                self.streams.append((ri, ranges))
+        lanes = zigzag_assign(
+            [len(ranges) for _, ranges in self.streams], self.batch_size
+        )
+        self.lanes = lanes
+        self.global_steps = (
+            max(sum(len(self.streams[i][1]) for i in lane) for lane in lanes)
+            if lanes else 0
+        )
+
+    def __len__(self) -> int:
+        return self.global_steps
+
+    def _lane_rows(self, stream_ids: List[int]) -> Iterator[tuple]:
+        T = self._hbm.seq_len
+        for si in stream_ids:
+            ri, ranges = self.streams[si]
+            r = self._hbm.readers[ri]
+            first = True
+            for start, end in ranges:
+                labels: List[Optional[FrameLabels]] = [
+                    r.labels_at_repr_idx(i) for i in range(start, end)
+                ]
+                labels += [None] * (T - (end - start))
+                yield (
+                    int(self._hbm.offsets[ri]) + start,
+                    end - start,
+                    first,
+                    False,
+                    labels,
+                )
+                first = False
+
+    def __iter__(self) -> Iterator[dict]:
+        T = self._hbm.seq_len
+        tr = self.cfg.training
+        max_gt = self.cfg.model.head.max_gt
+        fill = (0, 0, True, False, [None] * T)  # n_real=0 -> all-zero frames
+        lane_iters = [self._lane_rows(ids) for ids in self.lanes]
+        for _ in range(self.global_steps):
+            rows = [next(it, fill) for it in lane_iters]
+            yield self._hbm.rows_to_batch(
+                rows, tr.max_labeled_frames_per_lane, max_gt
+            )

@@ -115,6 +115,46 @@ def test_device_cache_bit_matches_host_mixed_mode(dataset_root):
     )
 
 
+def test_device_cache_eval_bit_matches_host(dataset_root):
+    # eval: zig-zag lane sharding, lane chaining, per-stream is_first
+    # resets, fill clips, finite length — vs DataModule.eval_batches.
+    from sast_tpu.data.device_cache import DeviceCachedEvalStream
+
+    cfg = _cfg(dataset_root, prob_hflip=0.0, batch=3)
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, batch_size_eval=3)
+    )
+    host = list(DataModule(cfg).eval_batches("val", prefetch=False))
+    cached_stream = DeviceCachedEvalStream(cfg, "val")
+    cached = list(cached_stream)
+    assert len(cached) == len(host) == len(cached_stream)
+    for i, (hb, cb) in enumerate(zip(host, cached)):
+        np.testing.assert_array_equal(
+            np.asarray(cb["ev_repr"]), hb["ev_repr"], err_msg=f"batch {i}"
+        )
+        for k in (
+            "is_first", "frame_tidx", "frame_valid",
+            "gt_boxes", "gt_classes", "gt_valid",
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(cb[k]), hb[k], err_msg=f"batch {i} key {k}"
+            )
+        # the evaluator consumes the host-side label references too
+        for lane_h, lane_c in zip(hb["_labels"], cb["_labels"]):
+            for fh, fc in zip(lane_h, lane_c):
+                assert (fh is None) == (fc is None)
+                if fh is not None:
+                    np.testing.assert_array_equal(
+                        fh.to_structured(), fc.to_structured()
+                    )
+    # reusing the stream object (fit validates repeatedly) replays it
+    again = list(cached_stream)
+    assert len(again) == len(cached)
+    np.testing.assert_array_equal(
+        np.asarray(again[0]["ev_repr"]), np.asarray(cached[0]["ev_repr"])
+    )
+
+
 def test_device_cache_forces_unsupported_augment_off(dataset_root, capsys):
     # zoom configured: the cache must run flip-only and say so, not crash
     # or silently claim zoom coverage.

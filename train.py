@@ -168,17 +168,26 @@ def main() -> None:
             "--device-cache is single-process/single-device; use the host "
             "loader for mesh/multi-host runs"
         )
-        from sast_tpu.data.device_cache import DeviceCachedTrainStream
+        from sast_tpu.data.device_cache import (
+            DeviceCachedEvalStream,
+            DeviceCachedTrainStream,
+        )
 
         train_batches = DeviceCachedTrainStream(
             cfg, seed=cfg.training.seed or 0
         )
+        # NOTE: like the host path below, validation during fit streams the
+        # *test* split (reference quirk, modules/data/genx.py:161-162). The
+        # eval cache is built once and reused across validations.
+        eval_cache = DeviceCachedEvalStream(cfg, "test")
+        eval_loader_fn = lambda: eval_cache  # noqa: E731
     else:
         train_batches = dm.train_batches(seed=cfg.training.seed or 0)
+        eval_loader_fn = lambda: dm.eval_batches("test")  # noqa: E731
 
     trainer.fit(
         train_batches,
-        eval_loader_fn=lambda: dm.eval_batches("test"),
+        eval_loader_fn=eval_loader_fn,
         max_steps=args.max_steps,
         profile_steps=profile_steps,
     )
