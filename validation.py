@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--sparse-kernel", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="use the Pallas window-skipping kernel (TPU only)")
+    ap.add_argument("--device-cache", action="store_true",
+                    help="keep the split's event representations resident in "
+                    "device HBM (zero per-batch upload; split must fit in "
+                    "HBM — sast_tpu/data/device_cache.py)")
     args = ap.parse_args()
 
     from sast_tpu.utils.cache import enable_compilation_cache
@@ -61,10 +65,13 @@ def main() -> None:
         mgr = CheckpointManager(args.ckpt)
         trainer.state = mgr.restore_weights(trainer.state)
 
-    dm = DataModule(cfg)
-    metrics = trainer.validate(
-        dm.eval_batches(args.split), max_batches=args.max_batches
-    )
+    if args.device_cache:
+        from sast_tpu.data.device_cache import DeviceCachedEvalStream
+
+        eval_batches = DeviceCachedEvalStream(cfg, args.split)
+    else:
+        eval_batches = DataModule(cfg).eval_batches(args.split)
+    metrics = trainer.validate(eval_batches, max_batches=args.max_batches)
     for k, v in metrics.items():
         print(f"{k:12s} | {v * 100:.4f}%", file=sys.stderr)
     print(json.dumps(metrics))
