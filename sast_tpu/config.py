@@ -187,6 +187,12 @@ class BackboneConfig:
     # non_zero_ratio is ~40x off the bandwidth roof at the shipped uint8
     # geometries. Same auto-fallback rules as the stem kernel.
     ratio_pallas: bool = True
+    # Fuse the density pyramid INTO the stem kernel (single input fetch for
+    # both ops; ops/pallas/stem_conv.py stem_conv_density_7x4) when the
+    # static gates hold (TPU, single device, u8 input, fusable shape —
+    # models/backbone.py _fused_stem_density_dispatch). Falls back to the
+    # standalone kernels otherwise; numerically identical either way.
+    fuse_stem_density: bool = False
     attention: AttentionConfig = field(default_factory=AttentionConfig)
     lstm: LstmConfig = field(default_factory=LstmConfig)
     in_res_hw: Tuple[int, int] = (256, 320)

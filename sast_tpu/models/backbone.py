@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -27,6 +28,28 @@ LstmState = Tuple[jnp.ndarray, jnp.ndarray]
 LstmStates = List[Optional[LstmState]]
 
 
+def _fused_stem_density_dispatch(cfg: BackboneConfig, x: jnp.ndarray) -> bool:
+    """Static gate for computing the density ratio inside the stem kernel
+    (ops/pallas/stem_conv.py stem_conv_density_7x4): one input fetch serves
+    both ops, removing non_zero_ratio's separate full-resolution read and
+    its pad/merge relayout. All conditions are trace-time static; any miss
+    falls back to the standalone non_zero_ratio (Pallas or XLA), which is
+    numerically identical."""
+    from sast_tpu.ops.pallas.stem_conv import stem_density_fusable
+
+    return (
+        cfg.fuse_stem_density
+        and cfg.stem_pallas
+        and cfg.ratio_pallas
+        and cfg.num_stages == 4
+        and jax.default_backend() == "tpu"
+        # GSPMD treats the Pallas custom call as opaque; multi-device
+        # meshes use the XLA formulations (same rule as the other kernels).
+        and jax.device_count() == 1
+        and stem_density_fusable(x.shape, x.dtype)
+    )
+
+
 class SASTStage(nn.Module):
     """One backbone stage: strided-conv downsample -> SAST blocks -> ConvLSTM.
 
@@ -41,6 +64,11 @@ class SASTStage(nn.Module):
     enable_token_masking: bool = False
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    # Stage-0 fused dispatch: the downsample kernel also emits the full
+    # (B, num_stages, C_in) density ratio from its own input fetch; ``r``
+    # must then be passed as None and the stage returns the ratio for the
+    # backbone to feed the later stages.
+    compute_density: bool = False
 
     @nn.compact
     def __call__(
@@ -48,20 +76,28 @@ class SASTStage(nn.Module):
         x: jnp.ndarray,
         lstm_state: Optional[LstmState],
         token_mask: Optional[jnp.ndarray],
-        r: jnp.ndarray,
+        r: Optional[jnp.ndarray],
         *,
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, LstmState, jnp.ndarray]:
+    ) -> Tuple[jnp.ndarray, LstmState, jnp.ndarray, Optional[jnp.ndarray]]:
         cfg = self.cfg
-        x = ConvDownsample(
+        downsample = ConvDownsample(
             dim_out=self.stage_dim,
             downsample_factor=self.downsample_factor,
             overlap=cfg.downsample_overlap,
             norm_affine=cfg.downsample_norm_affine,
             dtype=self.dtype,
             use_pallas_stem=cfg.stem_pallas,
+            with_density=self.compute_density,
             name="downsample",
-        )(x)
+        )
+        ratio = None
+        if self.compute_density:
+            assert r is None, "compute_density stages derive r themselves"
+            x, ratio = downsample(x)
+            r = ratio[:, 0].astype(self.dtype or jnp.float32)
+        else:
+            x = downsample(x)
 
         if token_mask is not None:
             assert self.enable_token_masking, "No mask token present in this stage"
@@ -99,7 +135,7 @@ class SASTStage(nn.Module):
             dtype=self.dtype,
             name="lstm",
         )(x, lstm_state, deterministic=deterministic)
-        return h, (h, c), p_total
+        return h, (h, c), p_total, ratio
 
 
 class SASTBackbone(nn.Module):
@@ -131,9 +167,13 @@ class SASTBackbone(nn.Module):
             prev_states = [None] * num_stages
         assert len(prev_states) == num_stages
 
-        r = non_zero_ratio(
-            x, num_stages=num_stages, use_pallas=cfg.ratio_pallas
-        )  # (B, S, C_in)
+        fused_density = _fused_stem_density_dispatch(cfg, x)
+        if fused_density:
+            r = None  # stage 0's fused stem kernel emits it (one input fetch)
+        else:
+            r = non_zero_ratio(
+                x, num_stages=num_stages, use_pallas=cfg.ratio_pallas
+            )  # (B, S, C_in)
         if not jnp.issubdtype(x.dtype, jnp.integer):
             x = x.astype(self.dtype or jnp.float32)
         # else: u8 event histograms flow raw into the stage-0 downsample,
@@ -143,7 +183,8 @@ class SASTBackbone(nn.Module):
         states: List[LstmState] = []
         p_stages = []
         for idx in range(num_stages):
-            stage_out, state, p = SASTStage(
+            compute_density = fused_density and idx == 0
+            stage_out, state, p, ratio = SASTStage(
                 cfg=cfg,
                 stage_dim=cfg.stage_dims[idx],
                 downsample_factor=cfg.stem_patch_size if idx == 0 else 2,
@@ -151,14 +192,19 @@ class SASTBackbone(nn.Module):
                 enable_token_masking=cfg.enable_masking and idx == 0,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                compute_density=compute_density,
                 name=f"stage{idx}",
             )(
                 x,
                 prev_states[idx],
                 token_mask if idx == 0 else None,
-                r[:, idx].astype(self.dtype or jnp.float32),
+                None
+                if compute_density
+                else r[:, idx].astype(self.dtype or jnp.float32),
                 deterministic=deterministic,
             )
+            if compute_density:
+                r = ratio  # (B, num_stages, C_in) f32 from the fused kernel
             x = stage_out
             states.append(state)
             features[idx + 1] = state[0]

@@ -112,13 +112,20 @@ class ConvDownsample(nn.Module):
     # back to the numerically identical XLA formulation. Both branches share
     # the parameter path Conv_0/kernel, so checkpoints are interchangeable.
     use_pallas_stem: bool = False
+    # Fused stem+density variant (ops/pallas/stem_conv.py
+    # stem_conv_density_7x4): also returns the (B, 4, C_in) event-density
+    # ratio computed from the SAME input fetch. The caller (SASTBackbone) is
+    # responsible for the dispatch gates (TPU, single device, u8 input,
+    # fusable shape); with_density=True asserts them.
+    with_density: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         f = self.downsample_factor
         if self.overlap and f == 4:
             from sast_tpu.ops.pallas.stem_conv import (
                 stem_conv_7x4,
+                stem_conv_density_7x4,
                 stem_conv_xla,
                 stem_kernel_supported,
             )
@@ -137,7 +144,14 @@ class ConvDownsample(nn.Module):
                 kernel = kernel.astype(self.dtype or jnp.float32)
             else:
                 x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
-            if (
+            ratio = None
+            if self.with_density:
+                assert integer_in and self.use_pallas_stem, (
+                    "with_density requires the gated fused dispatch "
+                    "(u8 input + Pallas stem); see SASTBackbone"
+                )
+                x, ratio = stem_conv_density_7x4(x, kernel)
+            elif (
                 self.use_pallas_stem
                 and jax.default_backend() == "tpu"
                 and stem_kernel_supported(x.shape)
@@ -153,12 +167,13 @@ class ConvDownsample(nn.Module):
                 if integer_in:
                     x = x.astype(kernel.dtype)
                 x = stem_conv_xla(x, kernel)
-            return nn.LayerNorm(
+            x = nn.LayerNorm(
                 epsilon=self.norm_eps,
                 use_bias=self.norm_affine,
                 use_scale=self.norm_affine,
                 dtype=self.dtype,
             )(x)
+            return (x, ratio) if self.with_density else x
         if self.overlap:
             kernel = (f - 1) * 2 + 1
             pad = kernel // 2

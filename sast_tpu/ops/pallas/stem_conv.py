@@ -64,6 +64,12 @@ FACTOR = 4      # stride
 KSIZE = 7       # kernel edge
 PAD = KSIZE // 2
 LANE = 128
+DENS_CPAD = 32  # density-fused channel pad (4 cols x 32 ch = one vreg)
+
+# Module-local indirection so tests can force interpret mode by patching
+# THIS module (pytest monkeypatch on `_pallas_call`) instead of mutating the
+# shared jax.experimental.pallas module (ADVICE r3 pattern, ops/pallas/density.py).
+_pallas_call = pl.pallas_call
 
 
 def stem_conv_xla(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -84,7 +90,108 @@ def stem_kernel_supported(shape) -> bool:
     return H % (FACTOR * TH) == 0 and W % FACTOR == 0 and H >= FACTOR * TH
 
 
-def _band_kernel(a_ref, h_ref, w_ref, o_ref, *, th: int, c4: int, cout: int):
+def stem_density_fusable(shape, dtype=None) -> bool:
+    """Static gate for the fused stem+density variant.
+
+    The density pyramid (ops/pallas/density.py semantics: 4 scales of
+    max-pool + non-zero count, reference sast_rnn.py:45-60) can ride the
+    stem kernel's input fetch when: the stem geometry holds; H and W divide
+    32 (each program's 32 raw rows are one scale-32 pool row; the 4-column
+    blocks pool down 3x); channels fit one 32-lane group; and values are
+    uint8 (0..255 is exact in bf16, so nonzero-of-converted == nonzero-of-
+    raw; signed representations pool VALUES in the reference, where
+    max{-1, 0} = 0 counts as zero — those must use the XLA path).
+    ``dtype`` is effectively required: None returns False."""
+    if not stem_kernel_supported(shape):
+        return False
+    B, H, W, Cin = shape
+    return (
+        H % 32 == 0
+        and W % 32 == 0
+        and Cin <= DENS_CPAD
+        and dtype is not None
+        and dtype == jnp.uint8
+    )
+
+
+def _offset_pool_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """(n_out, n_in) 0/1 bf16: row r sums padded columns 2r+1 and 2r+2 —
+    the level-1 column pool over the stem's padded block axis, where raw
+    4-col block j sits at padded block j+1 (one full-stride left pad) and
+    the two pad blocks (0 and n_in-1) carry no entries."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    return (((c - 1) // 2 == r) & (c >= 1) & (c <= 2 * n_out)).astype(
+        jnp.bfloat16
+    )
+
+
+def _density_accumulate(slab4, d_ref, *, th: int) -> None:
+    """Accumulate the 4-scale density pyramid of this band's raw rows.
+
+    Same math as ops/pallas/density.py _slab_kernel (nonzero-of-max ==
+    sum-pooled-count > 0; column pools as MXU matmuls), re-indexed into the
+    stem kernel's padded slab: the band's 32 raw rows are slab row-groups
+    1..th (the top pad is one full 4-row group), and raw 4-col block j is
+    padded block j+1. slab4 is the post-conversion (th+1, 4, wb_in, 4*Cp)
+    compute-dtype view — u8 values 0..255 are exact in bf16, so the
+    nonzero test matches the raw input bit-for-bit.
+    """
+    from sast_tpu.ops.pallas.density import _col_extract_matrix, _pool_matrix
+
+    i = pl.program_id(1)
+    _, _, wb_in, c4 = slab4.shape
+    assert th == TH and c4 == FACTOR * DENS_CPAD, (th, c4)
+    wbr = wb_in - 2  # raw 4-col blocks (pad blocks 0 and wb_in-1 excluded)
+    d = lax.slice(slab4, (1, 0, 0, 0), (th + 1, FACTOR, wb_in, c4))
+    nz = (d != 0).astype(jnp.bfloat16)
+    rows = nz.sum(axis=1)  # (th, wb_in, 128) row-pooled counts <= 4, exact
+    q = _col_extract_matrix()  # (128, 32): sum the 4 interleaved columns
+    cell = jnp.stack(
+        [
+            jnp.dot(rows[r], q, preferred_element_type=jnp.float32)
+            for r in range(th)
+        ]
+    )  # (th, wb_in, 32) scale-4 cell counts
+    cur = (cell > 0).astype(jnp.bfloat16)
+    # Scale-4 count: mask the two pad blocks explicitly (replicate-padded
+    # columns hold real values and would otherwise inflate the count).
+    cidx = lax.broadcasted_iota(jnp.int32, (wb_in, 1), 0)
+    vmask = ((cidx >= 1) & (cidx <= wbr)).astype(jnp.bfloat16)
+    counts = [jnp.sum(cur * vmask, axis=(0, 1), dtype=jnp.float32)]
+    # Level 1: offset pool matrix folds the padded axis to raw blocks
+    # (also dropping the pad blocks); levels 2-3 are plain halvings.
+    for lvl in range(3):
+        n_rows = cur.shape[0]
+        p2 = (
+            _offset_pool_matrix(wbr // 2, wb_in)
+            if lvl == 0
+            else _pool_matrix(cur.shape[1] // 2, cur.shape[1])
+        )
+        nxt = jnp.stack(
+            [
+                jnp.dot(
+                    p2,
+                    cur[r] + cur[r + 1],
+                    preferred_element_type=jnp.float32,
+                )
+                for r in range(0, n_rows, 2)
+            ]
+        )
+        cur = (nxt > 0).astype(jnp.bfloat16)
+        counts.append(jnp.sum(cur, axis=(0, 1), dtype=jnp.float32))
+    cnt = jnp.stack(counts)  # (4, 32) fp32
+
+    @pl.when(i == 0)
+    def _init():
+        d_ref[0] = cnt
+
+    @pl.when(i > 0)
+    def _acc():
+        d_ref[0] = d_ref[0] + cnt
+
+
+def _band_kernel(a_ref, h_ref, w_ref, o_ref, *dens_ref, th: int, c4: int, cout: int):
     # slab: the band's 4*th input rows + 4 halo rows from the next band,
     # viewed as (th+1) groups of 4 rows. Output row r's tap ki reads slab
     # row 4r + (1+ki) = group r + (1+ki)//4, within-group row (1+ki)%4 —
@@ -101,6 +208,9 @@ def _band_kernel(a_ref, h_ref, w_ref, o_ref, *, th: int, c4: int, cout: int):
     wb_in = slab.shape[1]          # W'/4 column blocks
     wo = wb_in - 2                 # output columns
     slab4 = slab.reshape(th + 1, FACTOR, wb_in, c4)
+    if dens_ref:
+        # Fused density pyramid: the band's raw rows are already in VMEM.
+        _density_accumulate(slab4, dens_ref[0], th=th)
     acc = jnp.zeros((th * wo, cout), jnp.float32)
     for ki in range(KSIZE):
         s = 1 + ki
@@ -118,10 +228,14 @@ def _band_kernel(a_ref, h_ref, w_ref, o_ref, *, th: int, c4: int, cout: int):
     o_ref[0] = acc.reshape(th, wo, cout).astype(o_ref.dtype)
 
 
-def _stem_fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def _stem_fwd_pallas(
+    x: jnp.ndarray, w: jnp.ndarray, with_density: bool = False
+):
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
     assert stem_kernel_supported(x.shape), x.shape
+    if with_density:
+        assert stem_density_fusable(x.shape, x.dtype), (x.shape, x.dtype)
     # Compute/output dtype: the weight's for integer inputs (u8 event
     # histograms enter raw; the cast happens in VMEM inside the kernel),
     # otherwise the input's (weights were already promoted by the caller).
@@ -165,7 +279,21 @@ def _stem_fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
     wb_in = xp4.shape[2]
     grid = (B, nb)
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec((1, TH, Wo, Cout), lambda b, i: (b, i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, Ho, Wo, Cout), cdt)
+    if with_density:
+        # Second output: per-scale non-zero counts, accumulated across the
+        # sequential row-band grid dim (same revisiting-block pattern as
+        # ops/pallas/density.py).
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, 4, DENS_CPAD), lambda b, i: (b, 0, 0)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, 4, DENS_CPAD), jnp.float32),
+        ]
+    out = _pallas_call(
         functools.partial(_band_kernel, th=TH, c4=c4, cout=Cout),
         grid=grid,
         in_specs=[
@@ -177,8 +305,8 @@ def _stem_fwd_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
             ),
             pl.BlockSpec((KSIZE, 2, c4, Cout), lambda b, i: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, TH, Wo, Cout), lambda b, i: (b, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, Cout), cdt),
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(xp4, xp4, wk)
     return out
 
@@ -209,3 +337,37 @@ def _bwd(res, g):
 
 
 stem_conv_7x4.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def stem_conv_density_7x4(x: jnp.ndarray, w: jnp.ndarray):
+    """Fused stem conv + density pyramid: (y, ratio).
+
+    One kernel, one input fetch: the 7x7/4 conv output AND the per-stage
+    channel-wise event-density ratio of the reference ``non_zero_ratio``
+    (/root/reference/models/detection/recurrent_backbone/sast_rnn.py:45-60),
+    with the reference normalization count / (C * Hp * Wp). Replaces the
+    separate density kernel's pad/merge relayout + full-resolution re-read
+    of the raw input (round-4 trace: ~187 us/step at the gen4-base
+    geometry). ``ratio`` is (B, 4, C) float32 and non-differentiable (the
+    reference wraps it in no_grad); the conv backward is the exact XLA VJP,
+    identical to stem_conv_7x4's.
+    """
+    y, counts = _stem_fwd_pallas(x, w, with_density=True)
+    B, H, W, C = x.shape
+    cells = jnp.asarray(
+        [(H // k) * (W // k) * C for k in (4, 8, 16, 32)], jnp.float32
+    )
+    return y, counts[:, :, :C] / cells[None, :, None]
+
+
+def _fwd_density(x, w):
+    return stem_conv_density_7x4(x, w), (x, w)
+
+
+def _bwd_density(res, g):
+    gy, _g_ratio = g  # the ratio output has no tangent (reference no_grad)
+    return _bwd(res, gy)
+
+
+stem_conv_density_7x4.defvjp(_fwd_density, _bwd_density)

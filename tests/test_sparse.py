@@ -167,3 +167,107 @@ def test_density_kernel_gate_rejects_unsupported():
     assert not ratio_kernel_supported((4, 384, 636, 20), 4, jnp.uint8)  # W%32
     assert not ratio_kernel_supported((4, 384, 640, 40), 4, jnp.uint8)  # C>32
     assert not ratio_kernel_supported((4, 384, 640, 20), 3, jnp.uint8)  # stages
+
+
+# ---------------------------------------------------------------------------
+# Fused stem+density kernel (ops/pallas/stem_conv.py stem_conv_density_7x4)
+
+
+def test_fused_stem_density_interpret_matches_references(monkeypatch):
+    """One kernel, two outputs: the conv must match stem_conv_xla and the
+    ratio must match the XLA non_zero_ratio, on CPU via interpret mode.
+    Also checks the custom-VJP: exact conv weight grads, zero ratio
+    cotangent (the reference wraps the ratio in no_grad)."""
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+
+    import sast_tpu.ops.pallas.stem_conv as sc
+
+    monkeypatch.setattr(
+        sc, "_pallas_call", partial(pl.pallas_call, interpret=True)
+    )
+    rng = np.random.RandomState(1)
+    B, H, W, C, Cout = 2, 64, 64, 20, 24
+    x = jnp.asarray(
+        rng.poisson(0.25, (B, H, W, C)).clip(0, 255).astype(np.uint8)
+    )
+    w = jnp.asarray(rng.randn(7, 7, C, Cout) * 0.05, jnp.float32)
+    assert sc.stem_density_fusable(x.shape, x.dtype)
+
+    y, ratio = jax.jit(sc.stem_conv_density_7x4)(x, w)
+    y_ref = sc.stem_conv_xla(x.astype(jnp.float32), w)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-4
+    )
+    r_ref = non_zero_ratio(x, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(ratio), np.asarray(r_ref), atol=1e-6)
+
+    # Weight grads are the exact XLA VJP; the ratio output contributes no
+    # cotangent even when it enters the loss.
+    def loss_fused(w):
+        yy, rr = sc.stem_conv_density_7x4(x, w)
+        return (yy * yy).sum() + rr.sum()
+
+    def loss_ref(w):
+        yy = sc.stem_conv_xla(x.astype(jnp.float32), w)
+        return (yy * yy).sum()
+
+    gw = jax.jit(jax.grad(loss_fused))(w)
+    gr = jax.jit(jax.grad(loss_ref))(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gr), rtol=2e-5, atol=1e-3)
+
+
+def test_fused_stem_density_gate():
+    from sast_tpu.ops.pallas.stem_conv import stem_density_fusable
+
+    assert stem_density_fusable((4, 384, 640, 20), jnp.uint8)  # gen4
+    assert stem_density_fusable((8, 256, 320, 20), jnp.uint8)  # gen1
+    assert not stem_density_fusable((4, 384, 640, 20))          # dtype omitted
+    assert not stem_density_fusable((4, 384, 640, 20), jnp.int8)   # signed
+    assert not stem_density_fusable((4, 384, 640, 20), jnp.float32)
+    assert not stem_density_fusable((4, 384, 636, 20), jnp.uint8)  # W%32
+    assert not stem_density_fusable((4, 384, 640, 40), jnp.uint8)  # C>32
+    assert not stem_density_fusable((4, 16, 640, 20), jnp.uint8)   # stem gate
+
+
+def test_backbone_fused_density_matches_default(monkeypatch):
+    """End-to-end wiring: SASTBackbone with fuse_stem_density routed through
+    the fused kernel (interpret mode; the hardware-only dispatch gates are
+    bypassed) must reproduce the default path on the same parameters."""
+    import dataclasses
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+
+    import sast_tpu.models.backbone as bb
+    import sast_tpu.ops.pallas.stem_conv as sc
+    from sast_tpu.config import get_test_config
+
+    monkeypatch.setattr(
+        sc, "_pallas_call", partial(pl.pallas_call, interpret=True)
+    )
+    monkeypatch.setattr(
+        bb,
+        "_fused_stem_density_dispatch",
+        lambda cfg, x: cfg.fuse_stem_density
+        and sc.stem_density_fusable(x.shape, x.dtype),
+    )
+    cfg = get_test_config().model.backbone
+    assert cfg.in_res_hw[0] % 32 == 0 and cfg.in_res_hw[1] % 32 == 0
+    cfg_fused = dataclasses.replace(cfg, fuse_stem_density=True)
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(
+        rng.poisson(0.3, (2, *cfg.in_res_hw, cfg.input_channels))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    variables = bb.SASTBackbone(cfg=cfg).init(jax.random.PRNGKey(0), x)
+    feats, states, p = bb.SASTBackbone(cfg=cfg).apply(variables, x)
+    feats_f, states_f, p_f = bb.SASTBackbone(cfg=cfg_fused).apply(variables, x)
+    for k in feats:
+        np.testing.assert_allclose(
+            np.asarray(feats_f[k]), np.asarray(feats[k]), rtol=1e-4, atol=1e-4
+        )
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p), atol=0)

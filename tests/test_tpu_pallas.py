@@ -294,3 +294,42 @@ def test_density_ratio_parity_on_tpu(shape):
         jax.jit(lambda x: non_zero_ratio(x, use_pallas=False))(x)
     )
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@tpu_only
+@pytest.mark.parametrize(
+    "shape,cout",
+    [
+        ((4, 384, 640, 20), 64),  # gen4 stem geometry
+        ((2, 256, 320, 20), 64),  # gen1 stem geometry
+    ],
+)
+def test_fused_stem_density_parity_on_tpu(shape, cout):
+    """Fused stem+density kernel on real hardware: conv == stem_conv_7x4's
+    reference and ratio == the XLA non_zero_ratio, at both shipped
+    geometries, from a single u8 input fetch."""
+    from sast_tpu.ops.pallas.stem_conv import (
+        stem_conv_density_7x4,
+        stem_conv_xla,
+        stem_density_fusable,
+    )
+    from sast_tpu.ops.sparse import non_zero_ratio
+
+    assert stem_density_fusable(shape, jnp.uint8)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.poisson(0.3, shape).clip(0, 255).astype(np.uint8)
+    )
+    w = jnp.asarray(rng.randn(7, 7, shape[-1], cout) * 0.05, jnp.bfloat16)
+    got, ratio = jax.jit(stem_conv_density_7x4)(x, w)
+    ref = jax.jit(stem_conv_xla)(x.astype(jnp.bfloat16), w)
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(ref, np.float32),
+        atol=0.01 * scale,
+    )
+    r_ref = jax.jit(lambda x: non_zero_ratio(x, use_pallas=False))(x)
+    np.testing.assert_allclose(
+        np.asarray(ratio), np.asarray(r_ref), atol=1e-6
+    )
