@@ -83,6 +83,40 @@ class GatedMLP(nn.Module):
         return x
 
 
+def replicate_pad_hw(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
+    """Replicate ('edge') padding of an NHWC tensor on H and W.
+
+    Built from slice + concatenate instead of ``jnp.pad(mode="edge")``: the
+    two are numerically identical forward, but the transpose (gradient) of
+    this form is plain local slices and adds. The pad-based form's transpose
+    lowers to a partition-id select + single-pair ``collective-permute``
+    under GSPMD, an *asymmetric* collective in which only one device sources
+    data. On hosts where each virtual device has a single executor thread
+    (e.g. the driver's 1-core 8-device CPU dryrun) that permute can deadlock
+    against an independent gradient all-reduce — 7 devices block in the
+    permute rendezvous while the source device blocks in the all-reduce
+    (MULTICHIP_r03/r04 failures). Concatenate keeps the backward collective-
+    free, so the hazard is gone by construction.
+    """
+    if pad_h:
+        top = jnp.broadcast_to(
+            x[:, :1], (x.shape[0], pad_h) + x.shape[2:]
+        )
+        bottom = jnp.broadcast_to(
+            x[:, -1:], (x.shape[0], pad_h) + x.shape[2:]
+        )
+        x = jnp.concatenate([top, x, bottom], axis=1)
+    if pad_w:
+        left = jnp.broadcast_to(
+            x[:, :, :1], x.shape[:2] + (pad_w,) + x.shape[3:]
+        )
+        right = jnp.broadcast_to(
+            x[:, :, -1:], x.shape[:2] + (pad_w,) + x.shape[3:]
+        )
+        x = jnp.concatenate([left, x, right], axis=2)
+    return x
+
+
 class _ConvKernelParam(nn.Module):
     """Bare conv-kernel parameter with nn.Conv's default init and naming."""
 
@@ -177,7 +211,7 @@ class ConvDownsample(nn.Module):
         if self.overlap:
             kernel = (f - 1) * 2 + 1
             pad = kernel // 2
-            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+            x = replicate_pad_hw(x, pad, pad)
         else:
             kernel = f
         x = nn.Conv(

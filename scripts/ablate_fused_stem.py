@@ -12,7 +12,6 @@ protocol as bench.py, both variants in one process so the cliff is paid once.
 import argparse
 import dataclasses
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -20,26 +19,20 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def measure(model, variables, x, states, L1, L2, reps=4):
-    import jax
+def measure(model, variables, x, states, L1, L2):
+    """Per-step device time via the canonical slope protocol.
 
-    from sast_tpu.utils.benchmark import streaming_chunk
+    Built on utils.benchmark.slope_time (same code path as bench.py's
+    compute_fps): both chunk lengths are warmed untimed, timing uses
+    perf_counter, and every timed call starts from the SAME initial zero
+    states so the sparse selection cannot drift across repetitions."""
+    from sast_tpu.utils.benchmark import slope_time, streaming_chunk
 
-    small = streaming_chunk(model, L1).lower(variables, x, states).compile()
-    big = streaming_chunk(model, L2).lower(variables, x, states).compile()
-    st, acc = small(variables, x, states)
-    jax.block_until_ready(acc)
-    t_small, t_big = [], []
-    for _ in range(reps):
-        t0 = time.time()
-        st, acc = small(variables, x, st)
-        jax.block_until_ready(acc)
-        t_small.append(time.time() - t0)
-        t0 = time.time()
-        st, acc = big(variables, x, st)
-        jax.block_until_ready(acc)
-        t_big.append(time.time() - t0)
-    return (min(t_big) - min(t_small)) / (L2 - L1)
+    def make_fn(L):
+        compiled = streaming_chunk(model, L).lower(variables, x, states).compile()
+        return lambda: compiled(variables, x, states)
+
+    return slope_time(make_fn, L1, L2)
 
 
 def main() -> None:
@@ -68,12 +61,28 @@ def main() -> None:
     )
     states = zero_states(bb, args.batch, dtype=jnp.bfloat16)
 
-    # Pay the dispatch cliff before any timing.
-    float(jnp.zeros(()) + 1.0)
+    from sast_tpu.models.backbone import _fused_stem_density_dispatch
+    from sast_tpu.utils.benchmark import sync_dispatch
+
+    # Pay the dispatch cliff before any timing (flips the tunnel into
+    # synchronous per-execution mode so block_until_ready is real).
+    sync_dispatch()
 
     results = {}
     for fused in (False, True):
         bb2 = dataclasses.replace(bb, fuse_stem_density=fused)
+        if fused and not _fused_stem_density_dispatch(bb2, x):
+            # Every gate in the dispatch (stem_pallas, ratio_pallas, TPU
+            # backend, single device, fusable shape) must hold, or the
+            # "fused" run would silently execute the identical unfused
+            # graph and report a noise-driven ~1.0x "speedup".
+            print(
+                "fuse_stem_density=True would not dispatch the fused kernel "
+                "on this backend/shape — A/B would compare identical graphs; "
+                "aborting.",
+                flush=True,
+            )
+            return
         model = YoloXDetector(
             dataclasses.replace(cfg.model, backbone=bb2)
         )

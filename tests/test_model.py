@@ -527,3 +527,33 @@ def test_pin_partition_layout_is_numerically_identity(setup):
     for (h0, c0), (h1, c1) in zip(st0, st1):
         np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
         np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_replicate_pad_hw_matches_edge_pad():
+    """replicate_pad_hw must be byte-identical to jnp.pad(mode="edge")
+    forward AND in gradient — it exists only to change the *lowering* of the
+    transpose (local slices+adds instead of GSPMD's partition-id select +
+    collective-permute, which deadlocks single-threaded executors; see
+    layers.py docstring / MULTICHIP_r03-r04)."""
+    from sast_tpu.models.layers import replicate_pad_hw
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 7, 3).astype(np.float32))
+    for ph, pw in [(0, 0), (1, 1), (2, 3), (3, 0), (0, 2)]:
+        a = replicate_pad_hw(x, ph, pw)
+        b = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="edge")
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    w = jnp.asarray(np.random.RandomState(1).randn(2, 9, 11, 3).astype(np.float32))
+
+    def f1(x):
+        return jnp.sum(replicate_pad_hw(x, 2, 2) * w)
+
+    def f2(x):
+        return jnp.sum(
+            jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="edge") * w
+        )
+
+    g1 = jax.grad(f1)(x)
+    g2 = jax.grad(f2)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=0, atol=1e-6)
