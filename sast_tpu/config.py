@@ -192,7 +192,10 @@ class BackboneConfig:
     # static gates hold (TPU, single device, u8 input, fusable shape —
     # models/backbone.py _fused_stem_density_dispatch). Falls back to the
     # standalone kernels otherwise; numerically identical either way.
-    fuse_stem_density: bool = False
+    # Default ON since round 5: scripts/ablate_fused_stem.py (honest slope
+    # protocol, dispatch-gate asserted) measured 4.144 -> 4.029 ms/step on
+    # the gen4-base b4 streaming step (965 -> 993 fps, +2.9%) on v5e.
+    fuse_stem_density: bool = True
     attention: AttentionConfig = field(default_factory=AttentionConfig)
     lstm: LstmConfig = field(default_factory=LstmConfig)
     in_res_hw: Tuple[int, int] = (256, 320)
