@@ -196,6 +196,14 @@ class BackboneConfig:
     # protocol, dispatch-gate asserted) measured 4.144 -> 4.029 ms/step on
     # the gen4-base b4 streaming step (965 -> 993 fps, +2.9%) on v5e.
     fuse_stem_density: bool = True
+    # Raw-fetch stem (ops/pallas/stem_conv.py stem_conv_raw_7x4): the kernel
+    # reads the NATIVE (B, H, W, C) uint8 tensor directly — the edge pad,
+    # the channel pad and the u8->bf16 convert/relayout prologue (~250
+    # us/step at the gen4-base geometry, round-4 trace) all move into VMEM,
+    # at the cost of 80-lane (4*C) instead of 128-lane matmul operands.
+    # Same dispatch gates as the fused kernel plus stem_raw_supported;
+    # numerically identical (interpret-mode parity + TPU-guard tests).
+    stem_raw_fetch: bool = False
     attention: AttentionConfig = field(default_factory=AttentionConfig)
     lstm: LstmConfig = field(default_factory=LstmConfig)
     in_res_hw: Tuple[int, int] = (256, 320)

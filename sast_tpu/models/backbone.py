@@ -89,6 +89,7 @@ class SASTStage(nn.Module):
             dtype=self.dtype,
             use_pallas_stem=cfg.stem_pallas,
             with_density=self.compute_density,
+            raw_fetch=cfg.stem_raw_fetch,
             name="downsample",
         )
         ratio = None

@@ -152,6 +152,10 @@ class ConvDownsample(nn.Module):
     # responsible for the dispatch gates (TPU, single device, u8 input,
     # fusable shape); with_density=True asserts them.
     with_density: bool = False
+    # Raw-fetch variant (stem_conv_raw_7x4 / stem_conv_density_raw_7x4):
+    # the kernel reads the native u8 NHWC tensor with no prologue ops.
+    # Applies only where stem_raw_supported holds; falls back otherwise.
+    raw_fetch: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -160,8 +164,11 @@ class ConvDownsample(nn.Module):
             from sast_tpu.ops.pallas.stem_conv import (
                 stem_conv_7x4,
                 stem_conv_density_7x4,
+                stem_conv_density_raw_7x4,
+                stem_conv_raw_7x4,
                 stem_conv_xla,
                 stem_kernel_supported,
+                stem_raw_supported,
             )
 
             # Explicit param under the scope "Conv_0" — the exact path
@@ -179,12 +186,20 @@ class ConvDownsample(nn.Module):
             else:
                 x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
             ratio = None
+            raw = (
+                self.raw_fetch
+                and integer_in
+                and stem_raw_supported(x.shape, x.dtype)
+            )
             if self.with_density:
                 assert integer_in and self.use_pallas_stem, (
                     "with_density requires the gated fused dispatch "
                     "(u8 input + Pallas stem); see SASTBackbone"
                 )
-                x, ratio = stem_conv_density_7x4(x, kernel)
+                if raw:
+                    x, ratio = stem_conv_density_raw_7x4(x, kernel)
+                else:
+                    x, ratio = stem_conv_density_7x4(x, kernel)
             elif (
                 self.use_pallas_stem
                 and jax.default_backend() == "tpu"
@@ -196,7 +211,7 @@ class ConvDownsample(nn.Module):
                 # XLA formulation, which GSPMD partitions normally.
                 and jax.device_count() == 1
             ):
-                x = stem_conv_7x4(x, kernel)
+                x = stem_conv_raw_7x4(x, kernel) if raw else stem_conv_7x4(x, kernel)
             else:
                 if integer_in:
                     x = x.astype(kernel.dtype)

@@ -114,6 +114,212 @@ def stem_density_fusable(shape, dtype=None) -> bool:
     )
 
 
+def stem_raw_supported(shape, dtype=None) -> bool:
+    """Static gate for the raw-fetch stem variant (``stem_conv_raw_7x4``).
+
+    The raw variant reads the NATIVE ``(B, H, W, C)`` uint8 tensor (viewed as
+    ``(B, H, W/4, 4*C)``, a contiguous reshape) with NO prologue passes at
+    all: edge replication, the u8->compute-dtype widening, and the density
+    pyramid all happen in VMEM. Requirements: uint8 input (exact in bf16,
+    and the integer widening chain is only worth it when the fetch halves),
+    stem geometry, H and W divisible by 32 (band-local density pyramid +
+    three column halvings), and the 4-column fold fitting one 128-lane
+    register (4*C <= 128)."""
+    if dtype is None or dtype != jnp.uint8:
+        return False
+    B, H, W, Cin = shape
+    return (
+        stem_kernel_supported(shape)
+        and H % 32 == 0
+        and W % 32 == 0
+        and FACTOR * Cin <= LANE
+    )
+
+
+def _left_replicate_matrix(c: int, dtype) -> jnp.ndarray:
+    """(4c, 4c) 0/1 matrix M with ``(x_block0 @ M)[l'] = x[ch = l' % c]``:
+    builds the left replicate-pad block (4 copies of raw column 0) from raw
+    block 0's lanes without lane shuffles — Mosaic-friendly as one matmul."""
+    c4 = FACTOR * c
+    r = jax.lax.broadcasted_iota(jnp.int32, (c4, c4), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c4, c4), 1)
+    return (r == col % c).astype(dtype)
+
+
+def _raw_extract_matrix(c: int) -> jnp.ndarray:
+    """(4c, DENS_CPAD) 0/1 bf16 summing the 4 interleaved c-channel columns
+    of a raw folded block into per-channel counts (channels >= c are 0)."""
+    c4 = FACTOR * c
+    r = jax.lax.broadcasted_iota(jnp.int32, (c4, DENS_CPAD), 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c4, DENS_CPAD), 1)
+    return ((r % c == ch) & (ch < c)).astype(jnp.bfloat16)
+
+
+def _density_accumulate_raw(slab4, d_ref, *, th: int, c: int) -> None:
+    """Density pyramid over the band's raw rows in the RAW (unpadded) block
+    layout: slab groups 1..th are the raw rows, raw 4-col block j is slab
+    block j (no pad blocks), so every pool level is a plain 2x halving."""
+    from sast_tpu.ops.pallas.density import _pool_matrix
+
+    i = pl.program_id(1)
+    _, _, wb, c4 = slab4.shape
+    d = lax.slice(slab4, (1, 0, 0, 0), (th + 1, FACTOR, wb, c4))
+    nz = (d != 0).astype(jnp.bfloat16)
+    rows = nz.sum(axis=1)  # (th, wb, 4c) row-pooled counts <= 4, exact
+    q = _raw_extract_matrix(c)
+    cell = jnp.stack(
+        [
+            jnp.dot(rows[r], q, preferred_element_type=jnp.float32)
+            for r in range(th)
+        ]
+    )  # (th, wb, 32) scale-4 cell counts
+    cur = (cell > 0).astype(jnp.bfloat16)
+    counts = [jnp.sum(cur, axis=(0, 1), dtype=jnp.float32)]
+    for _ in range(3):
+        n_rows = cur.shape[0]
+        p2 = _pool_matrix(cur.shape[1] // 2, cur.shape[1])
+        nxt = jnp.stack(
+            [
+                jnp.dot(
+                    p2,
+                    cur[r] + cur[r + 1],
+                    preferred_element_type=jnp.float32,
+                )
+                for r in range(0, n_rows, 2)
+            ]
+        )
+        cur = (nxt > 0).astype(jnp.bfloat16)
+        counts.append(jnp.sum(cur, axis=(0, 1), dtype=jnp.float32))
+    cnt = jnp.stack(counts)  # (4, 32) fp32
+
+    @pl.when(i == 0)
+    def _init():
+        d_ref[0] = cnt
+
+    @pl.when(i > 0)
+    def _acc():
+        d_ref[0] = d_ref[0] + cnt
+
+
+def _raw_band_kernel(m_ref, h_ref, w_ref, o_ref, *dens_ref, th: int, c: int, cout: int):
+    """Band kernel over the NATIVE u8 layout: no prologue pads exist, so the
+    top edge (band 0), the 4-row upper halo (bands > 0) and the left edge
+    replicate block are all constructed in VMEM. Tap indexing is identical
+    to _band_kernel once the slab is assembled: slab group 0 is raw row
+    group 8i-1 (or replicated row 0), groups 1..th are the band's raw rows.
+    """
+    i = pl.program_id(1)
+    c4 = FACTOR * c
+    main = m_ref[0]  # (R, wb, 4c) u8: the band's 32 raw rows
+    halo = h_ref[0]  # (4, wb, 4c) u8: raw group 8i-1 (group 0 when i == 0)
+    wb = main.shape[1]
+    # Band 0's upper halo is the top edge: 4 replicas of raw row 0. (Only
+    # rows 1..3 of the group are ever read — the reference pad is 3.)
+    top = jnp.where(
+        i == 0, jnp.broadcast_to(main[0:1], halo.shape), halo
+    )
+    slab = jnp.concatenate([top, main], axis=0)  # (R + 4, wb, 4c) u8
+    # Widen in VMEM: u8 0..255 is exact in bf16 (Mosaic has no direct
+    # u8->bf16 cast; go through i32/f32).
+    slab = slab.astype(jnp.int32).astype(jnp.float32).astype(w_ref.dtype)
+    slab4 = slab.reshape(th + 1, FACTOR, wb, c4)
+    if dens_ref:
+        _density_accumulate_raw(slab4, dens_ref[0], th=th, c=c)
+    rep = _left_replicate_matrix(c, w_ref.dtype)
+    acc = jnp.zeros((th * wb, cout), jnp.float32)
+    corr = jnp.zeros((th, cout), jnp.float32)
+    for ki in range(KSIZE):
+        s = 1 + ki
+        gs, rr = s // FACTOR, s % FACTOR
+        rows = lax.slice(
+            slab4, (gs, rr, 0, 0), (gs + th, rr + 1, wb, c4)
+        ).reshape(th, wb, c4)
+        # wshift=1: raw blocks [0, wb) — exact, no padding involved.
+        acc = acc + jnp.dot(
+            rows.reshape(th * wb, c4),
+            w_ref[ki, 1],
+            preferred_element_type=jnp.float32,
+        )
+        # wshift=0: raw blocks [-1, wb-1). The true block -1 is the left
+        # edge replicate (4 copies of raw column 0); Mosaic cannot insert a
+        # unit middle dim to concatenate a computed (th, c4) pad block, so
+        # duplicate block 0 into the pad slot (plain slice+concat) and
+        # accumulate a per-row CORRECTION for output column 0: the
+        # difference between the replicate block and block 0, applied after
+        # the loop by a selection-matrix matmul.
+        shifted = jnp.concatenate([rows[:, :1], rows[:, : wb - 1]], axis=1)
+        acc = acc + jnp.dot(
+            shifted.reshape(th * wb, c4),
+            w_ref[ki, 0],
+            preferred_element_type=jnp.float32,
+        )
+        blk0 = rows[:, 0, :]  # (th, c4)
+        right = jnp.dot(
+            blk0, rep, preferred_element_type=jnp.float32
+        )  # replicate(col0); integer counts <= 255, exact in bf16
+        delta = (right - blk0.astype(jnp.float32)).astype(w_ref.dtype)
+        corr = corr + jnp.dot(
+            delta, w_ref[ki, 0], preferred_element_type=jnp.float32
+        )
+    # Scatter corr into output column 0 of each row: acc[t*wb] += corr[t].
+    ri = lax.broadcasted_iota(jnp.int32, (th * wb, th), 0)
+    ti = lax.broadcasted_iota(jnp.int32, (th * wb, th), 1)
+    msel = (ri == ti * wb).astype(jnp.float32)
+    acc = acc + jnp.dot(msel, corr, preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(th, wb, cout).astype(o_ref.dtype)
+
+
+def _stem_fwd_raw(x: jnp.ndarray, w: jnp.ndarray, with_density: bool = False):
+    """Raw-fetch forward: input is the native (B, H, W, C) uint8 tensor; the
+    only XLA op is the contiguous (B, H, W/4, 4C) view. Lane width is 4*C
+    (80 for the event histograms) — narrower matmuls than the padded
+    128-lane variant, but the entire pad + convert/relayout prologue
+    (~250 us/step at the gen4-base geometry, round-4 trace) disappears and
+    the kernel fetches half the bytes (u8 vs bf16)."""
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    assert stem_raw_supported(x.shape, x.dtype), (x.shape, x.dtype)
+    cdt = w.dtype
+    Ho, Wo = H // FACTOR, W // FACTOR
+    nb = Ho // TH
+    c4 = FACTOR * Cin
+    wb = W // FACTOR
+    xv = x.reshape(B, H, wb, c4)
+    # Tap kj sits at within-block column (1+kj) % 4 of block shift
+    # (1+kj) // 4; the leading zero slot realizes the never-read position.
+    wk = jnp.pad(w, ((0, 0), (1, 0), (0, 0), (0, 0))).astype(cdt).reshape(
+        KSIZE, 2, c4, Cout
+    )
+    grid = (B, nb)
+    out_specs = pl.BlockSpec((1, TH, Wo, Cout), lambda b, i: (b, i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, Ho, Wo, Cout), cdt)
+    if with_density:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, 4, DENS_CPAD), lambda b, i: (b, 0, 0)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, 4, DENS_CPAD), jnp.float32),
+        ]
+    return _pallas_call(
+        functools.partial(_raw_band_kernel, th=TH, c=Cin, cout=Cout),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, FACTOR * TH, wb, c4), lambda b, i: (b, i, 0, 0)),
+            # Upper 4-row halo: raw row group 8i-1 (clamped to 0 for band 0,
+            # whose content is replaced by the top-edge replicate in-kernel).
+            pl.BlockSpec(
+                (1, FACTOR, wb, c4),
+                lambda b, i: (b, jnp.maximum(i * TH - 1, 0), 0, 0),
+            ),
+            pl.BlockSpec((KSIZE, 2, c4, Cout), lambda b, i: (0, 0, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(xv, xv, wk)
+
+
 def _offset_pool_matrix(n_out: int, n_in: int) -> jnp.ndarray:
     """(n_out, n_in) 0/1 bf16: row r sums padded columns 2r+1 and 2r+2 —
     the level-1 column pool over the stem's padded block axis, where raw
@@ -371,3 +577,38 @@ def _bwd_density(res, g):
 
 
 stem_conv_density_7x4.defvjp(_fwd_density, _bwd_density)
+
+
+@jax.custom_vjp
+def stem_conv_raw_7x4(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Raw-fetch 7x7/stride-4 conv: native u8 NHWC input, zero prologue ops
+    (edge pad, channel pad, and the u8->bf16 convert/relayout all move into
+    the kernel). Backward is the exact XLA VJP, as stem_conv_7x4."""
+    return _stem_fwd_raw(x, w)
+
+
+def _fwd_raw(x, w):
+    return _stem_fwd_raw(x, w), (x, w)
+
+
+stem_conv_raw_7x4.defvjp(_fwd_raw, _bwd)
+
+
+@jax.custom_vjp
+def stem_conv_density_raw_7x4(x: jnp.ndarray, w: jnp.ndarray):
+    """Raw-fetch fused stem conv + density pyramid: (y, ratio); the single
+    kernel reads the native u8 tensor once and emits both outputs. Same
+    ratio semantics as stem_conv_density_7x4."""
+    y, counts = _stem_fwd_raw(x, w, with_density=True)
+    B, H, W, C = x.shape
+    cells = jnp.asarray(
+        [(H // k) * (W // k) * C for k in (4, 8, 16, 32)], jnp.float32
+    )
+    return y, counts[:, :, :C] / cells[None, :, None]
+
+
+def _fwd_density_raw(x, w):
+    return stem_conv_density_raw_7x4(x, w), (x, w)
+
+
+stem_conv_density_raw_7x4.defvjp(_fwd_density_raw, _bwd_density)

@@ -271,3 +271,118 @@ def test_backbone_fused_density_matches_default(monkeypatch):
             np.asarray(feats_f[k]), np.asarray(feats[k]), rtol=1e-4, atol=1e-4
         )
     np.testing.assert_allclose(np.asarray(p_f), np.asarray(p), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Raw-fetch stem kernel (ops/pallas/stem_conv.py stem_conv_raw_7x4)
+
+
+def test_raw_stem_interpret_matches_references(monkeypatch):
+    """The raw-fetch variants (native u8 input, in-kernel edge replication
+    and widening) must match stem_conv_xla and non_zero_ratio exactly like
+    the padded-prologue kernels, including the custom VJP."""
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+
+    import sast_tpu.ops.pallas.stem_conv as sc
+
+    monkeypatch.setattr(
+        sc, "_pallas_call", partial(pl.pallas_call, interpret=True)
+    )
+    rng = np.random.RandomState(3)
+    B, H, W, C, Cout = 2, 64, 96, 20, 24
+    x = jnp.asarray(
+        rng.poisson(0.25, (B, H, W, C)).clip(0, 255).astype(np.uint8)
+    )
+    w = jnp.asarray(rng.randn(7, 7, C, Cout) * 0.05, jnp.float32)
+    assert sc.stem_raw_supported(x.shape, x.dtype)
+
+    y_ref = sc.stem_conv_xla(x.astype(jnp.float32), w)
+    # Output column 0 goes through the left-edge correction matmul, whose
+    # different f32 summation order rounds differently; the f32 XLA conv
+    # itself is ~1.5e-4-relative off an f64 ground truth at this scale, so
+    # compare scale-relative with the same margin.
+    scale = float(jnp.max(jnp.abs(y_ref)))
+    y = jax.jit(sc.stem_conv_raw_7x4)(x, w)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), atol=5e-4 * scale
+    )
+    yd, ratio = jax.jit(sc.stem_conv_density_raw_7x4)(x, w)
+    np.testing.assert_allclose(
+        np.asarray(yd), np.asarray(y_ref), atol=5e-4 * scale
+    )
+    r_ref = non_zero_ratio(x, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(ratio), np.asarray(r_ref), atol=1e-6)
+
+    def loss_raw(w):
+        yy, rr = sc.stem_conv_density_raw_7x4(x, w)
+        return (yy * yy).sum() + rr.sum()
+
+    def loss_ref(w):
+        yy = sc.stem_conv_xla(x.astype(jnp.float32), w)
+        return (yy * yy).sum()
+
+    gw = jax.jit(jax.grad(loss_raw))(w)
+    gr = jax.jit(jax.grad(loss_ref))(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gr), rtol=2e-5, atol=1e-3)
+
+
+def test_raw_stem_gate():
+    from sast_tpu.ops.pallas.stem_conv import stem_raw_supported
+
+    assert stem_raw_supported((4, 384, 640, 20), jnp.uint8)   # gen4
+    assert stem_raw_supported((8, 256, 320, 20), jnp.uint8)   # gen1
+    assert not stem_raw_supported((4, 384, 640, 20))           # dtype omitted
+    assert not stem_raw_supported((4, 384, 640, 20), jnp.float32)
+    assert not stem_raw_supported((4, 384, 640, 20), jnp.int8)  # signed
+    assert not stem_raw_supported((4, 384, 636, 20), jnp.uint8)  # W%32
+    assert not stem_raw_supported((4, 380, 640, 20), jnp.uint8)  # H%32
+    assert not stem_raw_supported((4, 384, 640, 40), jnp.uint8)  # 4C>128
+    assert not stem_raw_supported((4, 16, 640, 20), jnp.uint8)   # stem gate
+
+
+def test_backbone_raw_stem_matches_default(monkeypatch):
+    """End-to-end wiring: stem_raw_fetch routed through the raw kernels
+    (interpret mode, hardware gates bypassed) reproduces the default path
+    on the same parameters — with and without the density fusion."""
+    import dataclasses
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+
+    import sast_tpu.models.backbone as bb
+    import sast_tpu.ops.pallas.stem_conv as sc
+    from sast_tpu.config import get_test_config
+
+    monkeypatch.setattr(
+        sc, "_pallas_call", partial(pl.pallas_call, interpret=True)
+    )
+    monkeypatch.setattr(
+        bb,
+        "_fused_stem_density_dispatch",
+        lambda cfg, x: cfg.fuse_stem_density
+        and sc.stem_density_fusable(x.shape, x.dtype),
+    )
+    cfg = get_test_config().model.backbone
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(
+        rng.poisson(0.3, (2, *cfg.in_res_hw, cfg.input_channels))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    variables = bb.SASTBackbone(cfg=cfg).init(jax.random.PRNGKey(0), x)
+    feats, _states, p = bb.SASTBackbone(cfg=cfg).apply(variables, x)
+    for fused in (False, True):
+        cfg_raw = dataclasses.replace(
+            cfg, stem_raw_fetch=True, fuse_stem_density=fused
+        )
+        # The interpret-mode ConvDownsample dispatch requires the Pallas
+        # branch; stem_raw_fetch only engages inside it.
+        feats_r, _s, p_r = bb.SASTBackbone(cfg=cfg_raw).apply(variables, x)
+        for k in feats:
+            np.testing.assert_allclose(
+                np.asarray(feats_r[k]), np.asarray(feats[k]),
+                rtol=1e-4, atol=1e-4, err_msg=f"fused={fused} stage {k}",
+            )
+        np.testing.assert_allclose(np.asarray(p_r), np.asarray(p), atol=0)

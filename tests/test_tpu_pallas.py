@@ -184,6 +184,49 @@ def test_stem_conv_grad_parity_on_tpu():
         )
 
 
+@tpu_only
+@pytest.mark.parametrize(
+    "shape,cout",
+    [
+        ((4, 384, 640, 20), 64),  # gen4 stem geometry
+        ((2, 256, 320, 20), 64),  # gen1 stem geometry
+    ],
+)
+def test_raw_stem_parity_on_tpu(shape, cout):
+    """Raw-fetch variants on hardware: conv vs stem_conv_xla, ratio vs the
+    XLA non_zero_ratio, on the production u8 geometries."""
+    from sast_tpu.ops.pallas.stem_conv import (
+        stem_conv_density_raw_7x4,
+        stem_conv_raw_7x4,
+        stem_conv_xla,
+        stem_raw_supported,
+    )
+    from sast_tpu.ops.sparse import non_zero_ratio
+
+    assert stem_raw_supported(shape, jnp.uint8)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.poisson(0.3, shape).clip(0, 255).astype(np.uint8)
+    )
+    w = jnp.asarray(rng.randn(7, 7, shape[-1], cout) * 0.05, jnp.bfloat16)
+    ref = jax.jit(lambda x, w: stem_conv_xla(x.astype(w.dtype), w))(x, w)
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    got = jax.jit(stem_conv_raw_7x4)(x, w)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.01 * scale,
+    )
+    got_d, ratio = jax.jit(stem_conv_density_raw_7x4)(x, w)
+    np.testing.assert_allclose(
+        np.asarray(got_d, np.float32), np.asarray(ref, np.float32),
+        atol=0.01 * scale,
+    )
+    r_ref = non_zero_ratio(x, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(ratio), np.asarray(r_ref), atol=1e-6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dense fused block kernel (ops/pallas/fused_block.py)
 
