@@ -203,7 +203,11 @@ class BackboneConfig:
     # at the cost of 80-lane (4*C) instead of 128-lane matmul operands.
     # Same dispatch gates as the fused kernel plus stem_raw_supported;
     # numerically identical (interpret-mode parity + TPU-guard tests).
-    stem_raw_fetch: bool = False
+    # Default ON since round 5: scripts/ablate_raw_stem.py (slope protocol)
+    # measured 4.033 -> 3.821 ms/step on the gen4-base b4 streaming step
+    # (992 -> 1047 fps, +5.5%) and 2.537 -> 1.964 ms/step on gen1-base b8
+    # (1.29x) on v5e.
+    stem_raw_fetch: bool = True
     attention: AttentionConfig = field(default_factory=AttentionConfig)
     lstm: LstmConfig = field(default_factory=LstmConfig)
     in_res_hw: Tuple[int, int] = (256, 320)
