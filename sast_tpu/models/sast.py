@@ -268,6 +268,11 @@ class MaskedSparseAttention(nn.Module):
             # qkv tensor (2x180 us/step at gen4 stage 1 in the round-4 xprof
             # trace); minor slices keep the copy off the 3x-wide tensor.
             qkv = qkv.reshape(*qkv.shape[:3], 3 * num_heads, self.dim_head)
+            # Round-5 negative result: an optimization_barrier HERE (pinning
+            # the attention-preferred layout onto the qkv product so the
+            # stage-0 2x180 us relayout folds into the dot output) makes the
+            # full step WORSE (1019 vs 1047 fps) — the dot's native output
+            # layout is load-bearing for XLA's surrounding schedule.
             q = qkv[:, :, :, 0:num_heads]
             k = qkv[:, :, :, num_heads : 2 * num_heads]
             v = qkv[:, :, :, 2 * num_heads :]

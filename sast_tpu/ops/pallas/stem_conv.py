@@ -284,6 +284,12 @@ def _stem_fwd_raw(x: jnp.ndarray, w: jnp.ndarray, with_density: bool = False):
     nb = Ho // TH
     c4 = FACTOR * Cin
     wb = W // FACTOR
+    # The custom call's operand wants the natural {3,2,1,0} layout of this
+    # view; consuming the framework's NHWC u8 contract therefore costs one
+    # u8 relayout copy (~147 us/step at gen4-base b4). Measured round 5: an
+    # optimization_barrier pin here does NOT remove it (3.815 vs 3.821
+    # ms/step, noise) — the producer layout puts H on the lanes, which no
+    # barrier placement can reconcile with the c4-lane kernel.
     xv = x.reshape(B, H, wb, c4)
     # Tap kj sits at within-block column (1+kj) % 4 of block shift
     # (1+kj) // 4; the leading zero slot realizes the never-read position.
