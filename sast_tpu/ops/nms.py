@@ -20,14 +20,26 @@ import jax.numpy as jnp
 
 
 def _iou_matrix_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
-    """(K, 4) xyxy -> (K, K) pairwise IoU."""
-    tl = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
-    br = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
-    wh = jnp.clip(br - tl, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
-    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.clip(
-        boxes[:, 3] - boxes[:, 1], 0.0
+    """(K, 4) xyxy -> (K, K) pairwise IoU.
+
+    Per-coordinate broadcasting on purpose: stacking the coordinates first
+    materializes (K, K, 2) intermediates whose minor dim is 2 — on TPU that
+    tiles as 2 of 128 lanes (64x wasted bandwidth; 1.5 ms/frame per fusion
+    at K=1000 in the round-5 serving trace). Separate (K, K) arrays keep K
+    on the lanes and the whole computation runs at the streaming roof."""
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    iw = jnp.clip(
+        jnp.minimum(x2[:, None], x2[None, :])
+        - jnp.maximum(x1[:, None], x1[None, :]),
+        0.0,
     )
+    ih = jnp.clip(
+        jnp.minimum(y2[:, None], y2[None, :])
+        - jnp.maximum(y1[:, None], y1[None, :]),
+        0.0,
+    )
+    inter = iw * ih
+    area = jnp.clip(x2 - x1, 0.0) * jnp.clip(y2 - y1, 0.0)
     return inter / (area[:, None] + area[None, :] - inter + 1e-12)
 
 
@@ -57,18 +69,27 @@ def nms_fixed(
     iou = _iou_matrix_xyxy(boxes_s)
     # suppressed[i] via sequential scan in score order: box i survives iff no
     # surviving higher-scored box overlaps it above the threshold.
-    overlap = (iou > iou_threshold) & (
-        jnp.arange(K)[:, None] < jnp.arange(K)[None, :]
-    )  # overlap[i, j]: i earlier than j and IoU > thr
+    # Row-major access on purpose: the scan reads "which earlier boxes j
+    # suppress candidate i" every iteration; indexed as a column of
+    # (K, K) it is a K-strided gather per step (3 ms/frame at K=1000 in the
+    # round-5 serving trace), as row i of the TRANSPOSED matrix it is one
+    # contiguous vector read.
+    sup_by = (iou > iou_threshold) & (
+        jnp.arange(K)[:, None] > jnp.arange(K)[None, :]
+    )  # sup_by[i, j]: j earlier than i and IoU > thr (j can suppress i)
 
     def body(keep_mask, i):
         # keep i iff no kept earlier box suppresses it
-        suppressed = jnp.any(keep_mask & overlap[:, i])
+        suppressed = jnp.any(keep_mask & sup_by[i])
         keep_i = (~suppressed) & (scores_s[i] > 0)
         keep_mask = keep_mask.at[i].set(keep_i)
         return keep_mask, keep_i
 
-    keep_mask, _ = jax.lax.scan(body, jnp.zeros((K,), bool), jnp.arange(K))
+    # unroll: the loop body is a handful of tiny vector ops; unrolling
+    # amortizes the TPU while-loop bookkeeping at identical results.
+    keep_mask, _ = jax.lax.scan(
+        body, jnp.zeros((K,), bool), jnp.arange(K), unroll=16
+    )
 
     # Select the first max_out kept boxes (in score order). Non-kept boxes
     # get an out-of-bounds slot so the scatter drops them.
