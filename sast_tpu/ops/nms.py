@@ -43,6 +43,72 @@ def _iou_matrix_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / (area[:, None] + area[None, :] - inter + 1e-12)
 
 
+def _greedy_keep_scan(
+    boxes_s: jnp.ndarray, scores_s: jnp.ndarray, iou_threshold: float
+) -> jnp.ndarray:
+    """(K, 4)/(K,) score-SORTED candidates -> (K,) greedy keep mask (XLA).
+
+    suppressed[i] via sequential scan in score order: box i survives iff no
+    surviving higher-scored box overlaps it above the threshold.
+    Row-major access on purpose: the scan reads "which earlier boxes j
+    suppress candidate i" every iteration; indexed as a column of
+    (K, K) it is a K-strided gather per step (3 ms/frame at K=1000 in the
+    round-5 serving trace), as row i of the TRANSPOSED matrix it is one
+    contiguous vector read.
+    """
+    K = boxes_s.shape[0]
+    iou = _iou_matrix_xyxy(boxes_s)
+    sup_by = (iou > iou_threshold) & (
+        jnp.arange(K)[:, None] > jnp.arange(K)[None, :]
+    )  # sup_by[i, j]: j earlier than i and IoU > thr (j can suppress i)
+
+    def body(keep_mask, i):
+        # keep i iff no kept earlier box suppresses it
+        suppressed = jnp.any(keep_mask & sup_by[i])
+        keep_i = (~suppressed) & (scores_s[i] > 0)
+        keep_mask = keep_mask.at[i].set(keep_i)
+        return keep_mask, keep_i
+
+    # unroll: the loop body is a handful of tiny vector ops; unrolling
+    # amortizes the TPU while-loop bookkeeping at identical results.
+    keep_mask, _ = jax.lax.scan(
+        body, jnp.zeros((K,), bool), jnp.arange(K), unroll=16
+    )
+    return keep_mask
+
+
+def batched_greedy_keep(
+    boxes_s: jnp.ndarray,
+    scores_s: jnp.ndarray,
+    iou_threshold: float,
+    use_pallas: bool = None,
+) -> jnp.ndarray:
+    """(N, K, 4)/(N, K) sorted candidates -> (N, K) greedy keep mask.
+
+    Dispatches to the in-VMEM Pallas recurrence (ops/pallas/nms_keep.py) on
+    single-device TPU — the XLA scan's K sequential tiny-op iterations cost
+    ~3.2 ms/frame at K=1000 (round-5 serving trace) — and to the vmapped
+    scan elsewhere. Identical results by construction.
+    """
+    if use_pallas is None:
+        from sast_tpu.ops.pallas.nms_keep import greedy_keep_supported
+
+        N, K, _ = boxes_s.shape
+        Kp = (K + 127) // 128 * 128
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and greedy_keep_supported(N, Kp)
+        )
+    if use_pallas:
+        from sast_tpu.ops.pallas.nms_keep import greedy_keep
+
+        return greedy_keep(boxes_s, scores_s, iou_threshold)
+    return jax.vmap(_greedy_keep_scan, in_axes=(0, 0, None))(
+        boxes_s, scores_s, iou_threshold
+    )
+
+
 def nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -66,43 +132,30 @@ def nms_fixed(
     boxes_s = boxes[order]
     scores_s = scores[order]
 
-    iou = _iou_matrix_xyxy(boxes_s)
-    # suppressed[i] via sequential scan in score order: box i survives iff no
-    # surviving higher-scored box overlaps it above the threshold.
-    # Row-major access on purpose: the scan reads "which earlier boxes j
-    # suppress candidate i" every iteration; indexed as a column of
-    # (K, K) it is a K-strided gather per step (3 ms/frame at K=1000 in the
-    # round-5 serving trace), as row i of the TRANSPOSED matrix it is one
-    # contiguous vector read.
-    sup_by = (iou > iou_threshold) & (
-        jnp.arange(K)[:, None] > jnp.arange(K)[None, :]
-    )  # sup_by[i, j]: j earlier than i and IoU > thr (j can suppress i)
+    keep_mask = _greedy_keep_scan(boxes_s, scores_s, iou_threshold)
 
-    def body(keep_mask, i):
-        # keep i iff no kept earlier box suppresses it
-        suppressed = jnp.any(keep_mask & sup_by[i])
-        keep_i = (~suppressed) & (scores_s[i] > 0)
-        keep_mask = keep_mask.at[i].set(keep_i)
-        return keep_mask, keep_i
+    safe, valid = _select_sorted(keep_mask, max_out)
+    keep_idx = order[safe]
+    return keep_idx, valid
 
-    # unroll: the loop body is a handful of tiny vector ops; unrolling
-    # amortizes the TPU while-loop bookkeeping at identical results.
-    keep_mask, _ = jax.lax.scan(
-        body, jnp.zeros((K,), bool), jnp.arange(K), unroll=16
-    )
 
-    # Select the first max_out kept boxes (in score order). Non-kept boxes
-    # get an out-of-bounds slot so the scatter drops them.
+def _select_sorted(
+    keep_mask: jnp.ndarray, max_out: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """First ``max_out`` kept positions of a (K,) keep mask, plus validity.
+
+    Non-kept boxes get an out-of-bounds slot so the scatter drops them;
+    empty output slots return index 0 with valid=False.
+    """
+    K = keep_mask.shape[0]
     kept_rank = jnp.cumsum(keep_mask.astype(jnp.int32)) - 1
     oob = max(K, max_out)
     slot = jnp.where(keep_mask, kept_rank, oob)
     out_idx = jnp.full((max_out,), K, jnp.int32)
     out_idx = out_idx.at[slot].set(jnp.arange(K, dtype=jnp.int32), mode="drop")
-    # out_idx entries that stayed K are empty slots.
     valid = out_idx < K
     safe = jnp.where(valid, out_idx, 0)
-    keep_idx = order[safe]
-    return keep_idx, valid
+    return safe, valid
 
 
 def postprocess(
@@ -113,21 +166,28 @@ def postprocess(
     pre_nms_topk: int = 1000,
     max_detections: int = 300,
     class_agnostic: bool = False,
+    use_pallas_nms: bool = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched detection postprocessing (cxcywh preds -> final boxes).
 
     Equivalent of the reference ``postprocess`` (boxes.py:32-76): highest-score
     class per anchor, confidence threshold obj*cls, per-class NMS.
 
+    Staged so the greedy keep-mask runs BATCHED across images (the top_k
+    output is already score-sorted, so no per-image argsort is needed) and
+    can dispatch to the Pallas recurrence kernel — see batched_greedy_keep.
+
     Args:
       preds: (B, A, 5 + n_cls) with sigmoid-activated obj/cls
         (see models.head.inference_outputs).
+      use_pallas_nms: force the keep-mask backend (None = auto: Pallas on
+        single-device TPU, XLA scan elsewhere).
 
     Returns dict of (B, max_detections, ...) arrays:
       boxes (xyxy), scores (obj*cls), obj_conf, cls_conf, classes, valid.
     """
 
-    def single(pred: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def candidates(pred: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         xy = pred[:, :2]
         wh = pred[:, 2:4]
         boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)  # xyxy
@@ -139,11 +199,9 @@ def postprocess(
         score = jnp.where(keep, score, 0.0)
 
         k = min(pre_nms_topk, score.shape[0])
-        top_scores, top_idx = jax.lax.top_k(score, k)
+        top_scores, top_idx = jax.lax.top_k(score, k)  # sorted descending
         top_boxes = boxes[top_idx]
         top_cls = cls_id[top_idx]
-        top_obj = obj[top_idx]
-        top_cc = cls_conf[top_idx]
 
         if class_agnostic:
             nms_boxes = top_boxes
@@ -152,15 +210,30 @@ def postprocess(
             span = jnp.max(top_boxes) + 1.0
             offset = top_cls.astype(top_boxes.dtype) * span
             nms_boxes = top_boxes + offset[:, None]
-
-        keep_idx, valid = nms_fixed(nms_boxes, top_scores, nms_threshold, max_detections)
         return {
-            "boxes": top_boxes[keep_idx] * valid[:, None],
-            "scores": top_scores[keep_idx] * valid,
-            "obj_conf": top_obj[keep_idx] * valid,
-            "cls_conf": top_cc[keep_idx] * valid,
-            "classes": jnp.where(valid, top_cls[keep_idx], -1),
+            "boxes": top_boxes,
+            "scores": top_scores,
+            "obj_conf": obj[top_idx],
+            "cls_conf": cls_conf[top_idx],
+            "classes": top_cls,
+            "nms_boxes": nms_boxes,
+        }
+
+    cand = jax.vmap(candidates)(preds)
+    keep_mask = batched_greedy_keep(
+        cand.pop("nms_boxes"), cand["scores"], nms_threshold,
+        use_pallas=use_pallas_nms,
+    )  # (B, K)
+
+    def select(c: Dict[str, jnp.ndarray], keep: jnp.ndarray):
+        safe, valid = _select_sorted(keep, max_detections)
+        return {
+            "boxes": c["boxes"][safe] * valid[:, None],
+            "scores": c["scores"][safe] * valid,
+            "obj_conf": c["obj_conf"][safe] * valid,
+            "cls_conf": c["cls_conf"][safe] * valid,
+            "classes": jnp.where(valid, c["classes"][safe], -1),
             "valid": valid,
         }
 
-    return jax.vmap(single)(preds)
+    return jax.vmap(select)(cand, keep_mask)

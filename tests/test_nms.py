@@ -73,3 +73,62 @@ def test_postprocess_shapes_and_class_separation():
         if abs(b[0] - 90) < 1 and abs(b[1] - 90) < 1
     ]
     assert 0 in at_100 and 1 in at_100, (kept_classes, kept_boxes)
+
+
+# ---------------------------------------------------------------------------
+# Pallas greedy-keep kernel (ops/pallas/nms_keep.py)
+
+
+def _clustered_candidates(rng, n, k):
+    """Sorted candidate sets with heavy overlap (long suppression chains)."""
+    centers = rng.rand(n, 6, 2) * 200
+    idx = rng.randint(0, 6, (n, k))
+    xy = centers[np.arange(n)[:, None], idx] + rng.randn(n, k, 2) * 8
+    wh = 10 + rng.rand(n, k, 2) * 30
+    boxes = np.concatenate([xy - wh / 2, xy + wh / 2], axis=-1).astype(np.float32)
+    scores = np.sort(rng.rand(n, k).astype(np.float32), axis=-1)[:, ::-1].copy()
+    scores[:, -k // 8 :] = 0.0  # invalid tail
+    return jnp.asarray(boxes), jnp.asarray(scores)
+
+
+def test_greedy_keep_kernel_matches_scan(monkeypatch):
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+
+    import sast_tpu.ops.pallas.nms_keep as nk
+    from sast_tpu.ops.nms import batched_greedy_keep
+
+    monkeypatch.setattr(nk, "_pallas_call", partial(pl.pallas_call, interpret=True))
+    rng = np.random.RandomState(0)
+    boxes, scores = _clustered_candidates(rng, 4, 200)  # pads 200 -> 256
+    ref = batched_greedy_keep(boxes, scores, 0.45, use_pallas=False)
+    got = batched_greedy_keep(boxes, scores, 0.45, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_postprocess_pallas_nms_matches_scan(monkeypatch):
+    from functools import partial
+
+    import jax.experimental.pallas as pl
+
+    import sast_tpu.ops.pallas.nms_keep as nk
+
+    monkeypatch.setattr(nk, "_pallas_call", partial(pl.pallas_call, interpret=True))
+    rng = np.random.RandomState(1)
+    B, A, n_cls = 2, 400, 3
+    preds = np.zeros((B, A, 5 + n_cls), np.float32)
+    preds[..., :2] = rng.rand(B, A, 2) * 200
+    preds[..., 2:4] = 10 + rng.rand(B, A, 2) * 40
+    preds[..., 4] = rng.rand(B, A)
+    preds[..., 5:] = rng.rand(B, A, n_cls)
+    kw = dict(num_classes=n_cls, conf_threshold=0.05, nms_threshold=0.45,
+              pre_nms_topk=128, max_detections=16)
+    ref = jax.jit(lambda p: postprocess(p, use_pallas_nms=False, **kw))(
+        jnp.asarray(preds))
+    got = jax.jit(lambda p: postprocess(p, use_pallas_nms=True, **kw))(
+        jnp.asarray(preds))
+    for key in ref:
+        np.testing.assert_array_equal(
+            np.asarray(got[key]), np.asarray(ref[key]), err_msg=key
+        )

@@ -227,6 +227,32 @@ def test_raw_stem_parity_on_tpu(shape, cout):
     )
 
 
+@tpu_only
+def test_greedy_keep_kernel_on_tpu():
+    """Pallas NMS keep-mask vs the XLA scan on hardware, heavy overlap."""
+    from sast_tpu.ops.nms import batched_greedy_keep
+
+    rng = np.random.RandomState(0)
+    n, k = 8, 1000
+    centers = rng.rand(n, 6, 2) * 200
+    idx = rng.randint(0, 6, (n, k))
+    xy = centers[np.arange(n)[:, None], idx] + rng.randn(n, k, 2) * 8
+    wh = 10 + rng.rand(n, k, 2) * 30
+    boxes = jnp.asarray(
+        np.concatenate([xy - wh / 2, xy + wh / 2], axis=-1), jnp.float32
+    )
+    scores = np.sort(rng.rand(n, k).astype(np.float32), axis=-1)[:, ::-1].copy()
+    scores[:, -100:] = 0.0
+    scores = jnp.asarray(scores)
+    ref = jax.jit(
+        lambda b, s: batched_greedy_keep(b, s, 0.45, use_pallas=False)
+    )(boxes, scores)
+    got = jax.jit(
+        lambda b, s: batched_greedy_keep(b, s, 0.45, use_pallas=True)
+    )(boxes, scores)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 # ---------------------------------------------------------------------------
 # Dense fused block kernel (ops/pallas/fused_block.py)
 
